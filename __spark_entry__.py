@@ -1,38 +1,207 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 (ids in the
+names: F=filters, G=aggregations, J=joins, T=top-k, U=set ops, plus the
+training-data ops). The matching ``oracle_sql()`` runs in DuckDB over
+the same parquet views; the ``transcripts`` table is derived in-query
+from ``documents`` by the exact SQL both engines share
+(newsleak_spark/transcripts.py), so parity is by construction.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsleak_spark.analysis import STANDARD_TOKEN_RE
+from newsleak_spark.query import QuerySpec, bm25_topk, bm25_topk_oracle_sql
+from newsleak_spark.transcripts import load_transcripts, transcripts_sql
+from newsleak_spark import facets
+from newsleak_spark import textops
+from newsleak_spark import similarity
+
+_PRELUDE = f"WITH transcripts AS ({transcripts_sql('duckdb')}),\n"
+_TOKS = (
+    "toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{STANDARD_TOKEN_RE}')) AS term FROM transcripts),\n"
+)
+
+_SPECS = {
+    "f1_bm25_single": QuerySpec(terms=("spark",), k=20),
+    "f1_bm25_and": QuerySpec(terms=("merge", "window"), k=20),
+    "f1_bm25_phrase": QuerySpec(phrases=(("fast", "table"),), k=20),
+    "f2_f5_bm25_filtered": QuerySpec(
+        terms=("table",),
+        role_filter=("user", "tool"),
+        ts_from=dt.date(2018, 1, 1),
+        ts_to=dt.date(2019, 12, 31),
+        k=20,
+    ),
+    "f7_bm25_boost": QuerySpec(terms=("table",), boost_terms=("spark",), k=20),
+    "f1_bm25_nohit": QuerySpec(terms=("zzznohitzzz",), k=10),
+    "t1_matchall": QuerySpec(k=20),
+}
+
+
+def _bm25_query(spec: QuerySpec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return bm25_topk(load_transcripts(spark, sf_dir), spec)
+
+    return run
+
+
+def _transcripts_q(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_transcripts(spark, sf_dir))
+
+    return run
+
+
+def _doc_postings(t: DataFrame) -> DataFrame:
+    from newsleak_spark.analysis import tokens_col
+
+    return (
+        t.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: two-term AND BM25 top-k."""
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    return bm25_topk(t, _SPECS["f1_bm25_and"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, spec in _SPECS.items():
+        q[name] = _bm25_query(spec)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["g1_facet_role"] = _transcripts_q(lambda t: facets.facet_counts(t, "role", k=50))
+    q["g1_facet_tool_include"] = _transcripts_q(
+        lambda t: facets.facet_counts(t, "tool", k=50, include=["tool_0", "tool_1", "tool_99"])
+    )
+    q["g5_cardinality_tool"] = _transcripts_q(lambda t: facets.cardinality(t, "tool"))
+    q["g6_histogram_month"] = _transcripts_q(lambda t: facets.date_histogram(t, "month"))
+    q["g6_histogram_year"] = _transcripts_q(lambda t: facets.date_histogram(t, "year"))
+    q["g8_decade"] = _transcripts_q(facets.decade_histogram)
+    q["g7_date_bounds"] = _transcripts_q(facets.date_bounds)
+    q["g9_hit_count_filtered"] = _transcripts_q(
+        lambda t: facets.hit_count(t.filter(F.col("role") == "assistant"))
+    )
+    q["j6_tool_network"] = _transcripts_q(facets.tool_network)
+    q["t5_top_terms_per_doc"] = _transcripts_q(
+        lambda t: facets.top_terms_per_doc(_doc_postings(t.filter(F.col("doc_id") < 50)), n=3)
+    )
+    q["g10_doc_tf"] = _transcripts_q(
+        lambda t: _doc_postings(t.filter(F.col("doc_id") < 20)).orderBy("doc_id", "term")
+    )
+    q["g11_term_stats"] = _transcripts_q(
+        lambda t: t.select(F.explode(F.regexp_extract_all(F.lower("text"), F.lit(STANDARD_TOKEN_RE), 0)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+    # training-data ops (documents/embeddings tables)
+    q.update(textops.queries())
+    q.update(similarity.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    for name, spec in _SPECS.items():
+        o[name] = bm25_topk_oracle_sql(spec)
+
+    o["g1_facet_role"] = (
+        _PRELUDE
+        + "agg AS (SELECT role AS value, COUNT(*) AS n_docs FROM transcripts GROUP BY role)\n"
+        + "SELECT value, n_docs FROM agg ORDER BY n_docs DESC, value ASC LIMIT 50"
+    )
+    o["g1_facet_tool_include"] = (
+        _PRELUDE
+        + "inc(value) AS (VALUES ('tool_0'), ('tool_1'), ('tool_99')),\n"
+        + "agg AS (SELECT tool AS value, COUNT(*) AS n FROM transcripts\n"
+        + "        WHERE tool IN ('tool_0','tool_1','tool_99') GROUP BY tool)\n"
+        + "SELECT inc.value, COALESCE(n, 0) AS n_docs FROM inc LEFT JOIN agg USING (value)\n"
+        + "ORDER BY n_docs DESC, value ASC LIMIT 50"
+    )
+    o["g5_cardinality_tool"] = (
+        _PRELUDE.rstrip(",\n")
+        + "\nSELECT COUNT(DISTINCT tool) AS n_distinct FROM transcripts"
+    )
+    o["g6_histogram_month"] = (
+        _PRELUDE
+        + "counts AS (SELECT CAST(date_trunc('month', ts) AS DATE) AS bucket_d, COUNT(*) AS n\n"
+        + "           FROM transcripts GROUP BY 1),\n"
+        + "bounds AS (SELECT CAST(date_trunc('month', MIN(ts)) AS DATE) AS lo,\n"
+        + "                  CAST(date_trunc('month', MAX(ts)) AS DATE) AS hi FROM transcripts),\n"
+        + "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS bucket_d FROM bounds)\n"
+        + "SELECT strftime(bucket_d, '%Y-%m') AS bucket, COALESCE(n, 0) AS n_docs\n"
+        + "FROM spine LEFT JOIN counts USING (bucket_d) ORDER BY bucket"
+    )
+    o["g6_histogram_year"] = (
+        _PRELUDE
+        + "counts AS (SELECT CAST(date_trunc('year', ts) AS DATE) AS bucket_d, COUNT(*) AS n\n"
+        + "           FROM transcripts GROUP BY 1),\n"
+        + "bounds AS (SELECT CAST(date_trunc('year', MIN(ts)) AS DATE) AS lo,\n"
+        + "                  CAST(date_trunc('year', MAX(ts)) AS DATE) AS hi FROM transcripts),\n"
+        + "spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 YEAR)) AS DATE) AS bucket_d FROM bounds)\n"
+        + "SELECT strftime(bucket_d, '%Y') AS bucket, COALESCE(n, 0) AS n_docs\n"
+        + "FROM spine LEFT JOIN counts USING (bucket_d) ORDER BY bucket"
+    )
+    o["g8_decade"] = (
+        _PRELUDE
+        + "counts AS (SELECT CAST(FLOOR(year(ts) / 10) * 10 AS INT) AS decade, COUNT(*) AS n\n"
+        + "           FROM transcripts GROUP BY 1),\n"
+        + "bounds AS (SELECT CAST(FLOOR(year(MIN(ts)) / 10) * 10 AS INT) AS lo,\n"
+        + "                  CAST(FLOOR(year(MAX(ts)) / 10) * 10 AS INT) AS hi FROM transcripts),\n"
+        + "spine AS (SELECT CAST(unnest(generate_series(lo, hi, 10)) AS INT) AS decade FROM bounds)\n"
+        + "SELECT decade, COALESCE(n, 0) AS n_docs FROM spine LEFT JOIN counts USING (decade) ORDER BY decade"
+    )
+    o["g7_date_bounds"] = (
+        _PRELUDE.rstrip(",\n")
+        + "\nSELECT CAST(CAST(MIN(ts) AS DATE) AS VARCHAR) AS min_d,\n"
+        + "       CAST(CAST(MAX(ts) AS DATE) AS VARCHAR) AS max_d FROM transcripts"
+    )
+    o["g9_hit_count_filtered"] = (
+        _PRELUDE.rstrip(",\n")
+        + "\nSELECT COUNT(*) AS n_hits FROM transcripts WHERE role = 'assistant'"
+    )
+    o["j6_tool_network"] = (
+        _PRELUDE
+        + "d AS (SELECT DISTINCT conv_id AS g, tool AS v FROM transcripts WHERE tool IS NOT NULL)\n"
+        + "SELECT a.v AS source, b.v AS target, COUNT(*) AS weight\n"
+        + "FROM d a JOIN d b ON a.g = b.g AND a.v < b.v\n"
+        + "GROUP BY 1, 2 HAVING COUNT(*) >= 1\n"
+        + "ORDER BY weight DESC, source ASC, target ASC LIMIT 1000"
+    )
+    o["t5_top_terms_per_doc"] = (
+        _PRELUDE
+        + _TOKS
+        + "postings AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE doc_id < 50 GROUP BY 1, 2),\n"
+        + "r AS (SELECT doc_id, term, tf,\n"
+        + "             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rank\n"
+        + "      FROM postings)\n"
+        + "SELECT doc_id, term, tf, rank FROM r WHERE rank <= 3"
+    )
+    o["g10_doc_tf"] = (
+        _PRELUDE
+        + _TOKS.rstrip(",\n")
+        + "\nSELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE doc_id < 20\n"
+        + "GROUP BY doc_id, term ORDER BY doc_id, term"
+    )
+    o["g11_term_stats"] = (
+        _PRELUDE
+        + _TOKS.rstrip(",\n")
+        + "\nSELECT term, COUNT(*) AS cf FROM toks GROUP BY term\n"
+        + "ORDER BY cf DESC, term ASC LIMIT 50"
+    )
+    o.update(textops.oracle_sql())
+    o.update(similarity.oracle_sql())
+    return o

@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Two paths:
+  * ``ann_cosine_topk`` — exact brute-force cosine top-k, the baseline.
+    Dot/norm computed by exploding (vec_id, i, e) and hash-aggregating —
+    pure JVM arithmetic, and bit-for-bit reproducible in the DuckDB
+    oracle (generate_subscripts + the same double math).
+  * ``ann_lsh_buckets`` / ``ann_lsh_topk`` — the 100TB scale path:
+    seed-pinned random-hyperplane LSH (vectorized numpy over Arrow
+    batches) buckets vectors; candidates come from ONE equi-join on
+    bucket keys and are exactly re-ranked within buckets. Recall is
+    tested against the brute-force baseline in tests (no SQL oracle —
+    driver records the rows-only check).
+
+At scale: the brute path is O(Q·N) and only for small Q (it broadcasts
+the query set); the LSH path shuffles once on the bucket key, with
+multi-probe via B independent hyperplane tables to trade recall for
+join fan-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
+TOP_K = 5
+LSH_BITS = 12
+LSH_TABLES = 4
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _flat(e: DataFrame) -> DataFrame:
+    """(vec_id, i, e) exploded doubles."""
+    return e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "e")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for query vectors (vec_id < N_QUERIES) against
+    the full table (self excluded). Tie-break (sim desc, neighbor asc)."""
+    e = _emb(spark, sf_dir)
+    flat = _flat(e)
+    q = flat.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "i", F.col("e").alias("qe")
+    )
+    dots = (
+        flat.join(F.broadcast(q), "i")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
+    )
+    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    qn = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm")
+    )
+    sims = (
+        dots.join(norms, "vec_id")
+        .join(F.broadcast(qn), "qid")
+        .withColumn("sim", F.col("dot") / (F.col("nrm") * F.col("qnrm")))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_cosine_topk_oracle() -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM flat GROUP BY vec_id),
+q AS (SELECT vec_id AS qid, i, e AS qe FROM flat WHERE vec_id < {N_QUERIES}),
+dots AS (
+  SELECT q.qid, f.vec_id, SUM(f.e * q.qe) AS dot
+  FROM flat f JOIN q ON f.i = q.i AND f.vec_id <> q.qid
+  GROUP BY q.qid, f.vec_id
+),
+sims AS (
+  SELECT d.qid, d.vec_id, d.dot / (n.nrm * qn.nrm) AS sim
+  FROM dots d
+  JOIN norms n ON n.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = d.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id AS neighbor_id,
+       CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+
+
+# ---------------------------------------------------------------------------
+# LSH scale path (seed-pinned hyperplanes; vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def lsh_bucket_udf(seed: int = 42, n_tables: int = LSH_TABLES, n_bits: int = LSH_BITS, dim: int = DIM):
+    planes = _hyperplanes(seed, n_tables, n_bits, dim)
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(emb: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        out = []
+        if len(mat) == 0:
+            return pd.Series(out)
+        # (tables, bits, dim) @ (n, dim)T -> sign bits -> packed ints
+        for t in range(n_tables):
+            proj = mat @ planes[t].T  # (n, bits)
+            bits = (proj > 0).astype(np.int64)
+            packed = bits @ weights  # (n,)
+            out.append(packed + (t << n_bits))  # disambiguate tables
+        stacked = np.stack(out, axis=1)  # (n, tables)
+        return pd.Series(list(stacked))
+
+    return buckets
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """(vec_id, bucket) pairs — one bucket per LSH table per vector."""
+    e = _emb(spark, sf_dir)
+    udf = lsh_bucket_udf(seed)
+    return e.select("vec_id", F.explode(udf("embedding")).alias("bucket")).orderBy(
+        "vec_id", "bucket"
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates from the bucket equi-join, exact
+    cosine rerank within candidates. Same output schema as the brute
+    path so recall is directly measurable."""
+    e = _emb(spark, sf_dir)
+    udf = lsh_bucket_udf(seed)
+    b = e.select("vec_id", "embedding", F.explode(udf("embedding")).alias("bucket"))
+    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "bucket"
+    )
+    cand = (
+        b.join(F.broadcast(qb), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qemb", "vec_id", "embedding")
+        .distinct()
+    )
+    sim = cand.withColumn(
+        "sim",
+        F.expr(
+            "aggregate(zip_with(cast(embedding as array<double>), cast(qemb as array<double>), (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )
+        / (
+            F.sqrt(F.expr("aggregate(transform(cast(embedding as array<double>), x -> x * x), 0D, (a, x) -> a + x)"))
+            * F.sqrt(F.expr("aggregate(transform(cast(qemb as array<double>), x -> x * x), 0D, (a, x) -> a + x)"))
+        ),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,  # no SQL oracle: rows-only check
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {"ann_cosine_topk": ann_cosine_topk_oracle()}

@@ -1,0 +1,414 @@
+"""Large-scale training-data pipeline ops over the ``documents`` table.
+
+These extend the reference's text-analysis surface (SURVEY §2.2) with
+the operations a 100TB corpus pipeline needs. Everything is pure
+Catalyst (built-in functions, hash-aggs, self-joins) — no Python in the
+hot path — and every op has a DuckDB-oracle twin built from the same
+normalized token expression (analysis.STANDARD_TOKEN_RE).
+
+Ops:
+  dedup_exact        content-hash groups (md5 of normalized token join)
+  dedup_ngram_jaccard  3-gram shingle self-join → exact Jaccard pairs
+  dedup_minhash_lsh  MinHash signatures (lexicographic min of md5-salted
+                     shingle hashes) → banded LSH bucket join → pairs
+  dedup_simhash      16-bit SimHash from md5 nibbles (tf-weighted)
+  lang_id            stopword-hit heuristic language ID
+  quality_score      length / TTR / stopword-ratio quality features
+  token_count        whitespace + BPE-ish regex token counts
+  fingerprint        document fingerprint (md5 of canonical token form)
+  a7_not_fulltext    newsleak's boilerplate flag (SegmenterICU.java:223-266)
+
+Scale notes: shingle/minhash self-joins are bounded by distinct() on
+(doc, key) before the join; at 10^12 docs the LSH band join is the only
+shuffle whose key (band hash) is data-dependent — hot bands (boiler-
+plate) are exactly what the dedup is for, and AQE skew-join splits them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsleak_spark.analysis import STANDARD_TOKEN_RE
+from newsleak_spark.transcripts import register_tables
+
+N_MINHASH = 12
+BAND_SIZE = 3
+JACCARD_THRESHOLD = 0.4
+
+_EN_STOP = "the a and of to in is it that was".split()
+_ES_STOP = "el la de que y en un los se del".split()
+_DE_STOP = "der die das und ist ein nicht mit sich auf".split()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(text=None) -> F.Column:
+    if text is None:
+        text = F.col("text")
+    return F.regexp_extract_all(F.lower(text), F.lit(STANDARD_TOKEN_RE), 0)
+
+
+_TOKS_SQL = f"regexp_extract_all(lower(text), '{STANDARD_TOKEN_RE}')"
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh) distinct n-gram shingles of the normalized tokens."""
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(0, size(toks) - {n}), i -> array_join(slice(toks, i + 1, {n}), ' ')) "
+                    "ELSE array() END"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+sh AS (
+  SELECT DISTINCT doc_id, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS sh
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) x,
+       UNNEST(range(GREATEST(len(t) - 2, 0))) AS u(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one row per content fingerprint with group size and
+    the kept (min) doc_id. At scale: single hash-agg on the fingerprint."""
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    return (
+        d.select("doc_id", F.md5(F.array_join("toks", " ")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fp")
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.4) via shingle
+    self-join. Bounded: distinct (doc, shingle) pairs, count-based sizes."""
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+    )
+    return j.select(
+        "doc_a", "doc_b", F.round(F.col("jac") * 10000).cast("long").alias("jaccard_e4")
+    ).orderBy("doc_a", "doc_b")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs.
+
+    Signature h_i(doc) = lexicographic min of md5(shingle || '#' || i) —
+    md5 is identical in Spark and DuckDB, so the oracle reproduces the
+    signatures exactly. Bands of BAND_SIZE rows are hashed and pairs are
+    found with ONE equi-join on (band, band_key): the shingle→minhash→
+    band→bucket-join plan that replaces an O(n²) all-pairs comparison.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    sh = _shingles(d)
+    hashes = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("i"))
+    sig = (
+        sh.crossJoin(F.broadcast(hashes))
+        .select("doc_id", "i", F.md5(F.concat_ws("#", "sh", "i")).alias("h"))
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.floor(F.col("i") / BAND_SIZE))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|')")
+            ).alias("band_key")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc, tf-weighted, bits from md5 nibbles.
+
+    bit_b(term) = bit (3 - b%4) of hex nibble (1 + b/4) of md5(term);
+    simhash = Σ 2^b · [Σ_t tf(t) · (2·bit_b(t) − 1) > 0].
+    """
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
+    tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
+    contrib = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "nib",
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.md5("term"), F.floor(F.col("b") / 4).cast("int") + 1, 1),
+            )
+            - 1,
+        )
+        .withColumn(
+            "bit",
+            (F.floor(F.col("nib") / F.pow(F.lit(2.0), 3 - F.col("b") % 4)) % 2).cast("int"),
+        )
+        .withColumn("c", F.col("tf") * (2 * F.col("bit") - 1))
+    )
+    return (
+        contrib.groupBy("doc_id", "b")
+        .agg(F.sum("c").alias("s"))
+        .withColumn("bitval", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0)))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash16"))
+        .orderBy("doc_id")
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-hit argmax over en/es/de lists
+    (A8 analog — OpenNLP MaxEnt replaced by an n-gram/stopword heuristic;
+    LanguageDetector.java:116-138). Ties → lexicographically first lang;
+    zero hits → 'und'."""
+    rows = (
+        [("en", w) for w in _EN_STOP] + [("es", w) for w in _ES_STOP] + [("de", w) for w in _DE_STOP]
+    )
+    stop = spark.createDataFrame(rows, "lang string, term string")
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
+    hits = (
+        d.join(F.broadcast(stop), "term")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    best = hits.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select("doc_id", "lang")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(best, "doc_id", "left")
+        .select("doc_id", F.coalesce("lang", F.lit("und")).alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: token count, type/token ratio, stopword ratio."""
+    stops = F.array(*[F.lit(w) for w in _EN_STOP])
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    return (
+        d.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.when(
+                F.size("toks") > 0,
+                F.round(F.size(F.array_distinct("toks")) / F.size("toks") * 10000),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ttr_e4"),
+            F.when(
+                F.size("toks") > 0,
+                F.round(
+                    F.size(F.expr(f"filter(toks, t -> array_contains(array({','.join(repr(w) for w in _EN_STOP)}), t))"))
+                    / F.size("toks")
+                    * 10000
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("stop_e4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (letter runs / single
+    digits / single punctuation)."""
+    bpe_re = "[a-z]+|[0-9]|[^a-z0-9 ]"
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), " +")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(bpe_re), 0)).cast("long").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 of the normalized token join
+    (first 16 hex chars)."""
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    return d.select(
+        "doc_id", F.substring(F.md5(F.array_join("toks", " ")), 1, 16).alias("fp16")
+    ).orderBy("doc_id")
+
+
+def a7_not_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 boilerplate flag: >100 tokens and TTR < 0.1."""
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    return d.select(
+        "doc_id",
+        (
+            (F.size("toks") > 100)
+            & (F.size(F.array_distinct("toks")) / F.size("toks") < 0.1)
+        ).alias("not_fulltext"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "lang_id": lang_id,
+        "quality_score": quality_score,
+        "token_count": token_count,
+        "fingerprint": fingerprint,
+        "a7_not_fulltext": a7_not_fulltext,
+    }
+
+
+def _vals(lang: str, words: list[str]) -> str:
+    return ", ".join(f"('{lang}', '{w}')" for w in words)
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+    o["dedup_exact"] = f"""
+SELECT md5(array_to_string({_TOKS_SQL}, ' ')) AS fp,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY fp"""
+
+    o["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(n_inter * 10000.0 / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_e4
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+    o["dedup_minhash_lsh"] = f"""
+WITH {_SHINGLES_SQL.strip()},
+sig AS (
+  SELECT doc_id, i, MIN(md5(sh || '#' || CAST(i AS VARCHAR))) AS mh
+  FROM sh, UNNEST(range({N_MINHASH})) AS u(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, CAST(FLOOR(i / {BAND_SIZE}) AS BIGINT) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+  FROM sig GROUP BY doc_id, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b"""
+
+    o["dedup_simhash"] = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+contrib AS (
+  SELECT doc_id, b,
+         tf * (2 * (CAST(FLOOR(
+            (instr('0123456789abcdef', substr(md5(term), CAST(FLOOR(b / 4) AS INT) + 1, 1)) - 1)
+            / POW(2, 3 - b % 4)) AS INT) % 2) - 1) AS c
+  FROM tf, UNNEST(range(16)) AS u(b)
+),
+bits AS (
+  SELECT doc_id, b, CASE WHEN SUM(c) > 0 THEN POW(2, b) ELSE 0 END AS bitval
+  FROM contrib GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash16
+FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+    o["lang_id"] = f"""
+WITH stop(lang, term) AS (VALUES {_vals('en', _EN_STOP)}, {_vals('es', _ES_STOP)}, {_vals('de', _DE_STOP)}),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS n FROM tok JOIN stop USING (term) GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rk
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b USING (doc_id)
+ORDER BY d.doc_id"""
+
+    stop_list = ", ".join(f"'{w}'" for w in _EN_STOP)
+    o["quality_score"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(toks) > 0
+            THEN ROUND(len(list_distinct(toks)) * 10000.0 / len(toks)) ELSE 0 END AS BIGINT) AS ttr_e4,
+       CAST(CASE WHEN len(toks) > 0
+            THEN ROUND(len(list_filter(toks, x -> list_contains([{stop_list}], x))) * 10000.0 / len(toks))
+            ELSE 0 END AS BIGINT) AS stop_e4
+FROM t ORDER BY doc_id"""
+
+    o["token_count"] = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+    o["fingerprint"] = f"""
+SELECT doc_id, substr(md5(array_to_string({_TOKS_SQL}, ' ')), 1, 16) AS fp16
+FROM documents ORDER BY doc_id"""
+
+    o["a7_not_fulltext"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       (len(toks) > 100 AND len(list_distinct(toks)) * 1.0 / len(toks) < 0.1) AS not_fulltext
+FROM t ORDER BY doc_id"""
+    return o

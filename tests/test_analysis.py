@@ -1,0 +1,137 @@
+"""Analyzer contract tests (FIXTURES.md §6 golden cases)."""
+
+from newsleak_spark.analysis import (
+    LUCENE_EN_STOPWORDS,
+    analyze_english,
+    analyze_standard,
+    clean_tokens,
+    is_not_fulltext,
+    normalize_text,
+    porter_stem,
+    tokenize_unicode,
+)
+
+# canonical Porter examples from the published algorithm description
+PORTER_GOLDEN = {
+    "caresses": "caress",
+    "ponies": "poni",
+    "ties": "ti",
+    "caress": "caress",
+    "cats": "cat",
+    "feed": "feed",
+    "agreed": "agre",
+    "plastered": "plaster",
+    "bled": "bled",
+    "motoring": "motor",
+    "sing": "sing",
+    "conflated": "conflat",
+    "troubled": "troubl",
+    "sized": "size",
+    "hopping": "hop",
+    "tanned": "tan",
+    "falling": "fall",
+    "hissing": "hiss",
+    "fizzed": "fizz",
+    "failing": "fail",
+    "filing": "file",
+    "happy": "happi",
+    "sky": "sky",
+    "relational": "relat",
+    "conditional": "condit",
+    "rational": "ration",
+    "valenci": "valenc",
+    "digitizer": "digit",
+    "operator": "oper",
+    "feudalism": "feudal",
+    "decisiveness": "decis",
+    "hopefulness": "hope",
+    "callousness": "callous",
+    "formaliti": "formal",
+    "sensitiviti": "sensit",
+    "sensibiliti": "sensibl",
+    "triplicate": "triplic",
+    "formative": "form",
+    "formalize": "formal",
+    "electriciti": "electr",
+    "electrical": "electr",
+    "hopeful": "hope",
+    "goodness": "good",
+    "revival": "reviv",
+    "allowance": "allow",
+    "inference": "infer",
+    "airliner": "airlin",
+    "gyroscopic": "gyroscop",
+    "adjustable": "adjust",
+    "defensible": "defens",
+    "irritant": "irrit",
+    "replacement": "replac",
+    "adjustment": "adjust",
+    "dependent": "depend",
+    "adoption": "adopt",
+    "homologou": "homolog",
+    "communism": "commun",
+    "activate": "activ",
+    "angulariti": "angular",
+    "homologous": "homolog",
+    "effective": "effect",
+    "bowdlerize": "bowdler",
+    "probate": "probat",
+    "rate": "rate",
+    "cease": "ceas",
+    "controll": "control",
+    "roll": "roll",
+}
+
+
+def test_porter_golden():
+    bad = {w: (porter_stem(w), want) for w, want in PORTER_GOLDEN.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_normalize_crlf_and_html():
+    assert normalize_text("a\r\nb") == "a\nb"
+    assert normalize_text("x<br>y<br/>z") == "x\ny\nz"
+    assert normalize_text("<p>para</p>more") == " para\nmore"
+    assert "<" not in normalize_text("<div class='x'>hi</div>")
+
+
+def test_dehyphenation_guards():
+    # plain continuation joins
+    assert "wonderful" in normalize_text("wonder-\nful")
+    # conjunction / uppercase / digit continuations keep the break
+    assert "Nordund" not in normalize_text("Nord-\nund Ostsee")
+    assert "fooBar" not in normalize_text("foo-\nBar")
+    assert "foo1bar" not in normalize_text("foo-\n1bar")
+
+
+def test_token_cleanup():
+    assert clean_tokens(["ok", "x" * 71, "fine"]) == ["ok", "fine"]
+    assert clean_tokens(["a", "a", "a", "b"]) == ["a", "b"]
+    assert clean_tokens(["aa", "aa"]) == ["aa", "aa"]  # only 1-char runs collapse
+
+
+def test_possessive_and_stopwords():
+    toks = analyze_english("The manager's report")
+    assert toks == ["manag", "report"]
+    assert all(t not in LUCENE_EN_STOPWORDS for t in toks)
+
+
+def test_unicode_tokenize():
+    assert tokenize_unicode("naïve café-crème") == ["naïve", "café", "crème"]
+
+
+def test_standard_mode_matches_duckdb_regex():
+    import duckdb
+
+    s = "Hello, World! x9 <br> foo_bar"
+    got = analyze_standard(s)
+    want = duckdb.sql(
+        "SELECT regexp_extract_all(lower($1), '[a-z0-9]+')", params=[s]
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_not_fulltext_flag():
+    boiler = "tok " * 200
+    assert is_not_fulltext(boiler)
+    assert not is_not_fulltext("short normal sentence with words")

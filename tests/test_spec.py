@@ -1,0 +1,68 @@
+import datetime as dt
+
+import pytest
+
+from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
+
+
+def test_parse_terms_and_phrase():
+    terms, phrases = parse_query_string('deploy failure "exact phrase here"')
+    assert terms == ("deploy", "failure")
+    assert phrases == (("exact", "phrase", "here"),)
+
+
+def test_unbalanced_quote_autoclosed():
+    # ESRequestUtils.scala:299-302
+    terms, phrases = parse_query_string('alpha "beta gamma')
+    assert terms == ("alpha",)
+    assert phrases == (("beta", "gamma"),)
+
+
+def test_quoted_single_token_is_term():
+    terms, phrases = parse_query_string('"solo" other')
+    assert terms == ("solo", "other")
+    assert phrases == ()
+
+
+def test_duplicate_terms_dedup():
+    terms, _ = parse_query_string("x y x")
+    assert terms == ("x", "y")
+
+
+def test_analyzer_applied_to_query():
+    from newsleak_spark.analysis import analyze_english
+
+    terms, _ = parse_query_string("The Manager's reports", analyzer=analyze_english)
+    assert terms == ("manag", "report")
+
+
+@pytest.mark.parametrize(
+    "s,lo,hi",
+    [
+        ("2014", dt.date(2014, 1, 1), dt.date(2014, 12, 31)),
+        ("2014-2016", dt.date(2014, 1, 1), dt.date(2016, 12, 31)),
+        ("2014-02", dt.date(2014, 2, 1), dt.date(2014, 2, 28)),
+        ("2016-02", dt.date(2016, 2, 1), dt.date(2016, 2, 29)),
+        ("2014-1-1", dt.date(2014, 1, 1), dt.date(2014, 1, 1)),
+    ],
+)
+def test_time_range_grammar(s, lo, hi):
+    assert parse_time_range(s) == (lo, hi)
+
+
+def test_time_range_invalid():
+    with pytest.raises(ValueError):
+        parse_time_range("not-a-date")
+
+
+def test_match_all_and_cache_key():
+    assert QuerySpec().is_match_all()
+    assert not QuerySpec(terms=("x",)).is_match_all()
+    a, b = QuerySpec(terms=("x",)), QuerySpec(terms=("x",))
+    assert a.cache_key() == b.cache_key()
+    assert a.cache_key() != QuerySpec(terms=("y",)).cache_key()
+
+
+def test_all_scored_terms_covers_phrases():
+    s = QuerySpec(terms=("a",), phrases=(("b", "c"), ("a", "d")))
+    assert s.all_scored_terms() == ("a", "b", "c", "d")
