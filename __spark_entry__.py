@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark.analysis import STANDARD_TOKEN_RE
+from newsleak_spark.indexing import IndexConfig, build_index
+from newsleak_spark.indexing.manifest import config_hash
 from newsleak_spark.query import QuerySpec, bm25_topk, bm25_topk_oracle_sql
+from newsleak_spark.query.engine import search
 from newsleak_spark.transcripts import load_transcripts, transcripts_sql
 from newsleak_spark import facets
 from newsleak_spark import textops
@@ -53,6 +56,36 @@ def _bm25_query(spec: QuerySpec):
     return run
 
 
+_ENGINE_CFG = IndexConfig()
+# engine-backed variants of the same query set: built index (resumable,
+# cached per sf dir + config hash under /tmp) + segment/WAND search.
+# Each shares the oracle of its brute-force twin — the driver thereby
+# verifies the REAL engine (segments + block-max scoring) against DuckDB.
+_ENGINE_SPECS = {
+    "e1_engine_single": "f1_bm25_single",
+    "e1_engine_and": "f1_bm25_and",
+    "e1_engine_phrase": "f1_bm25_phrase",
+    "e1_engine_filtered": "f2_f5_bm25_filtered",
+    "e1_engine_boost": "f7_bm25_boost",
+    "e1_engine_union": None,  # boost-only scored union → BMW path
+}
+_UNION_SPEC = QuerySpec(terms=(), boost_terms=("merge", "window"), k=20)
+
+
+def _engine_index(spark: SparkSession, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/newsleak_index_{tag}_{config_hash(_ENGINE_CFG.as_dict())}"
+    build_index(spark, load_transcripts(spark, sf_dir), d, _ENGINE_CFG, resume=True)
+    return d
+
+
+def _engine_query(spec: QuerySpec):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return search(spark, _engine_index(spark, sf_dir), spec)
+
+    return run
+
+
 def _transcripts_q(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_transcripts(spark, sf_dir))
@@ -80,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in _SPECS.items():
         q[name] = _bm25_query(spec)
+    for ename, ref in _ENGINE_SPECS.items():
+        q[ename] = _engine_query(_SPECS[ref] if ref else _UNION_SPEC)
 
     q["g1_facet_role"] = _transcripts_q(lambda t: facets.facet_counts(t, "role", k=50))
     q["g1_facet_tool_include"] = _transcripts_q(
@@ -117,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     for name, spec in _SPECS.items():
         o[name] = bm25_topk_oracle_sql(spec)
+    for ename, ref in _ENGINE_SPECS.items():
+        o[ename] = bm25_topk_oracle_sql(_SPECS[ref] if ref else _UNION_SPEC)
 
     o["g1_facet_role"] = (
         _PRELUDE

@@ -1,0 +1,110 @@
+"""Posting-list block codec: delta + varint, vectorized in numpy.
+
+The role Lucene's FOR/PForDelta codecs play (SURVEY §4.2 "Compression")
+— sorted doc_ids are delta-encoded then LEB128-varint packed; tf / dl /
+position payloads are varint packed raw. Both encode and decode are
+O(bytes) numpy array programs (no per-value Python loops; the encode
+loop is over the ≤10 byte positions of a varint, not over values), so
+they run at Arrow-batch speed inside mapInPandas/applyInPandas.
+
+Format invariants (tested by round-trip + property tests):
+  - varint: little-endian 7-bit groups, MSB=1 ⇒ continuation
+  - delta stream: first value absolute, then strictly-positive gaps
+    (doc_ids within a block are unique and sorted)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+_SEVEN = U64(7)
+_MASK = U64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value = number of 7-bit groups
+    nb = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> _SEVEN
+    while tmp.any():
+        nb += tmp > 0
+        tmp >>= _SEVEN
+    offsets = np.concatenate(([0], np.cumsum(nb)))
+    buf = np.zeros(offsets[-1], dtype=np.uint8)
+    rem = v.copy()
+    for j in range(int(nb.max())):
+        mask = nb > j
+        idx = offsets[:-1][mask] + j
+        byte = (rem[mask] & _MASK).astype(np.uint8)
+        cont = ((nb[mask] > j + 1).astype(np.uint8)) << 7
+        buf[idx] = byte | cont
+        rem >>= _SEVEN
+    return buf.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & 0x80) == 0)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b & 0x7F).astype(np.uint64) << (
+        _SEVEN * pos_in_group.astype(np.uint64)
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Sorted unique uint64 ids → absolute first value + gaps, varint."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    deltas = np.empty_like(a)
+    deltas[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=deltas[1:])
+    return varint_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    deltas = varint_decode(buf)
+    if deltas.size == 0:
+        return deltas
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
+    """Per-posting position arrays → (varint counts, varint delta-
+    within-posting flat stream). Kept in SEPARATE columns so term-only
+    queries never read them (SURVEY §7.5.5)."""
+    counts = np.fromiter((len(p) for p in pos_lists), dtype=np.uint64, count=len(pos_lists))
+    if counts.sum() == 0:
+        return varint_encode(counts), b""
+    flat = []
+    for p in pos_lists:
+        a = np.asarray(p, dtype=np.uint64)
+        if a.size:
+            d = np.empty_like(a)
+            d[0] = a[0]
+            np.subtract(a[1:], a[:-1], out=d[1:])
+            flat.append(d)
+    return varint_encode(counts), varint_encode(np.concatenate(flat))
+
+
+def decode_positions(counts_buf: bytes, flat_buf: bytes) -> list[np.ndarray]:
+    counts = varint_decode(counts_buf).astype(np.int64)
+    flat = varint_decode(flat_buf)
+    out: list[np.ndarray] = []
+    off = 0
+    for c in counts:
+        if c == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            seg = flat[off : off + c]
+            out.append(np.cumsum(seg, dtype=np.uint64))
+            off += c
+    return out

@@ -1,0 +1,387 @@
+"""Segment-based BM25 query engine (the Elasticsearch replacement).
+
+Execution shape (SURVEY §3.1 "Rebuild shape"):
+  parse → QuerySpec → dictionary lookup (df/idf per query term,
+  partition-pruned parquet point reads) → segment scan filtered to
+  (bucket ∈ query buckets, term ∈ query terms) — parquet PARTITION
+  pruning on bucket + row-group stats pruning on the term-sorted rows —
+  → per-shard scoring in applyInPandas over Arrow batches (numpy
+  decode, block-range intersection for AND, block-max WAND for the
+  scored-union path) → per-shard top-k heaps → global
+  TakeOrderedAndProject merge → optional docmeta join for F2/F5
+  filters.
+
+Correctness contract: rank-identical (doc_id, score_e6) vs
+query/brute.py (and hence vs the DuckDB oracle) — enforced by
+tests/test_engine_parity.py. Tie-break (score desc, doc_id asc) pinned
+on both sides (SURVEY §7.5.1); scores are float64 summed in query-term
+order (§7.5.2); N/avgdl/df come from the manifest snapshot, never
+recomputed at query time (§7.5.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsleak_spark.codec import decode_positions, delta_decode, varint_decode
+from newsleak_spark.indexing.manifest import Manifest
+from newsleak_spark.query.spec import QuerySpec
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class TermMeta:
+    term: str
+    df: float
+    idf: float
+    required: bool
+
+
+class IndexReader:
+    """Driver-side handle on an index directory + manifest snapshot."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.man = Manifest(index_dir)
+        if not self.man.stats.get("n_docs"):
+            raise ValueError(f"no built index at {index_dir}")
+        self.n_docs = float(self.man.stats["n_docs"])
+        self.avgdl = float(self.man.stats["avgdl"])
+        self.n_buckets = int(self.man.config["n_term_buckets"])
+
+    def dictionary_rows(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, cf) via partition-pruned dictionary reads."""
+        if not terms:
+            return {}
+        buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
+        d = (
+            self.spark.read.parquet(f"{self.index_dir}/dictionary")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df", "cf")
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in d}
+
+    def docmeta(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docmeta")
+
+    def segments_for(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
+        return self.spark.read.parquet(f"{self.index_dir}/segments").filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+
+def _bucket(term: str, n_buckets: int) -> int:
+    # mirror of F.pmod(F.xxhash64(term), n) — computed lazily via Spark once
+    # per process and memoized (xxhash64 seed/semantics live in the JVM).
+    key = (term, n_buckets)
+    if key not in _bucket._cache:  # type: ignore[attr-defined]
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        rows = spark.createDataFrame([(term,)], "term string").select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
+        ).collect()
+        _bucket._cache[key] = int(rows[0]["b"])  # type: ignore[attr-defined]
+    return _bucket._cache[key]  # type: ignore[attr-defined]
+
+
+_bucket._cache = {}  # type: ignore[attr-defined]
+
+
+# ---------------------------------------------------------------------------
+# per-shard scorer (runs inside applyInPandas over Arrow batches)
+# ---------------------------------------------------------------------------
+
+def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
+    """Concatenate a term's (possibly salted) block runs into one sorted
+    posting list: (docs, tfs, dls, positions|None)."""
+    docs_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+    for _, r in rows.iterrows():
+        docs_parts.append(delta_decode(bytes(r["docs"])).astype(np.int64))
+        tf_parts.append(varint_decode(bytes(r["tfs"])).astype(np.int64))
+        dl_parts.append(varint_decode(bytes(r["dls"])).astype(np.int64))
+        if want_positions:
+            pos_parts.extend(decode_positions(bytes(r["poscnt"]), bytes(r["posflat"])))
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    order = np.argsort(docs, kind="stable")  # salted runs interleave
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    pos = [pos_parts[i] for i in order] if want_positions else None
+    return docs, tfs, dls, pos
+
+
+def _prune_blocks_by_range(rows: pd.DataFrame, cand: np.ndarray) -> pd.DataFrame:
+    """Keep only blocks whose [doc_first, doc_last] contains ≥1 candidate
+    (the AND-path analog of WAND skipping: candidate-driven block skip)."""
+    lo = np.searchsorted(cand, rows["doc_first"].to_numpy())
+    hi = np.searchsorted(cand, rows["doc_last"].to_numpy(), side="right")
+    return rows[hi > lo]
+
+
+def _bm25(tf: np.ndarray, dl: np.ndarray, idf: float, avgdl: float) -> np.ndarray:
+    return idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _make_shard_scorer(
+    metas: list[TermMeta],
+    phrases: tuple[tuple[str, ...], ...],
+    avgdl: float,
+    k: int,
+    truncate: bool,
+):
+    """Returns the applyInPandas function scoring one shard's blocks."""
+    required = [m for m in metas if m.required]
+    optional = [m for m in metas if not m.required]
+    phrase_terms = {t for p in phrases for t in p}
+    idf = {m.term: m.idf for m in metas}
+    req_order = sorted(required, key=lambda m: (m.df, m.term))  # rarest first
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        by_term = {t: g for t, g in pdf.groupby("term")}
+        if any(m.term not in by_term for m in required):
+            return empty
+
+        if required:
+            cand, per_term, positions = _intersect_required(by_term)
+            if cand is None or cand.size == 0:
+                return empty
+            if phrases and not _check_phrases(cand, positions):
+                return empty
+            cand, per_term = _phrase_filter(cand, per_term, positions)
+            if cand.size == 0:
+                return empty
+            score = np.zeros(cand.size, dtype=np.float64)
+            # fixed term order (query order) for float determinism
+            for m in metas:
+                if m.required:
+                    tfv, dlv = per_term[m.term]
+                    score += _bm25(tfv, dlv, m.idf, avgdl)
+                elif m.term in by_term:
+                    score += _optional_contrib(by_term[m.term], cand)
+            out_docs, out_scores = cand, score
+        else:
+            # scored union (OR / boost-only): block-max WAND
+            out_docs, out_scores = _bmw_union(by_term, [m for m in metas if m.term in by_term])
+            if out_docs.size == 0:
+                return empty
+
+        if truncate and out_docs.size > k:
+            # per-shard top-k heap: exact top-k with pinned tie-break
+            order = np.lexsort((out_docs, -out_scores))[:k]
+            out_docs, out_scores = out_docs[order], out_scores[order]
+        return pd.DataFrame({"doc_id": out_docs.astype(np.int64), "score": out_scores})
+
+    # -- helpers bound to closure -------------------------------------------
+
+    def _intersect_required(by_term):
+        """Rarest-first sorted intersection with candidate-driven block
+        pruning; returns (cand, {term: (tf, dl)}, {term: positions})."""
+        m0 = req_order[0]
+        want_pos0 = m0.term in phrase_terms
+        docs, tfs, dls, pos = _decode_term_blocks(by_term[m0.term], want_pos0)
+        cand = docs
+        per = {m0.term: (tfs, dls)}
+        positions = {m0.term: pos} if want_pos0 else {}
+        dl_ref = dls
+        for m in req_order[1:]:
+            rows = _prune_blocks_by_range(by_term[m.term], cand)
+            if rows.empty:
+                return None, None, None
+            want_pos = m.term in phrase_terms
+            tdocs, ttfs, _tdls, tpos = _decode_term_blocks(rows, want_pos)
+            idx = np.searchsorted(tdocs, cand)
+            idx_c = np.minimum(idx, tdocs.size - 1)
+            mask = tdocs[idx_c] == cand
+            mask &= idx < tdocs.size
+            # shrink every aligned array
+            cand = cand[mask]
+            dl_ref = dl_ref[mask]
+            for t in per:
+                tfv, dlv = per[t]
+                per[t] = (tfv[mask], dlv[mask])
+            for t in positions:
+                positions[t] = [p for p, keep in zip(positions[t], mask) if keep]
+            sel = idx_c[mask]
+            per[m.term] = (ttfs[sel], dl_ref)
+            if want_pos:
+                positions[m.term] = [tpos[i] for i in sel]
+            if cand.size == 0:
+                return None, None, None
+        return cand, per, positions
+
+    def _check_phrases(cand, positions):
+        return all(t in positions for p in phrases for t in p)
+
+    def _phrase_filter(cand, per_term, positions):
+        if not phrases:
+            return cand, per_term
+        keep = np.ones(cand.size, dtype=bool)
+        for i in range(cand.size):
+            for p in phrases:
+                starts = positions[p[0]][i].astype(np.int64)
+                for off, t in enumerate(p[1:], start=1):
+                    nxt = positions[t][i].astype(np.int64)
+                    starts = starts[np.isin(starts + off, nxt)]
+                    if starts.size == 0:
+                        break
+                if starts.size == 0:
+                    keep[i] = False
+                    break
+        cand = cand[keep]
+        per_term = {t: (v[0][keep], v[1][keep]) for t, v in per_term.items()}
+        return cand, per_term
+
+    def _optional_contrib(rows, cand):
+        rows = _prune_blocks_by_range(rows, cand)
+        out = np.zeros(cand.size, dtype=np.float64)
+        if rows.empty:
+            return out
+        tdocs, ttfs, tdls, _ = _decode_term_blocks(rows, False)
+        idx = np.searchsorted(tdocs, cand)
+        idx_c = np.minimum(idx, tdocs.size - 1)
+        mask = (idx < tdocs.size) & (tdocs[idx_c] == cand)
+        sel = idx_c[mask]
+        t = rows["term"].iloc[0]
+        out[mask] = _bm25(ttfs[sel], tdls[sel], idf[t], avgdl)
+        return out
+
+    def _bmw_union(by_term, present):
+        """Block-max WAND over the union of posting lists.
+
+        Doc space is chunked at the union of block boundaries; a chunk
+        is decoded only if Σ_t max(block max_score overlapping chunk)
+        can beat the current k-th best (θ). Exact scores for survivors.
+        """
+        if not present:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        term_rows = {m.term: by_term[m.term].sort_values("doc_first") for m in present}
+        # decode once per term; chunk iteration below skips SCORING work
+        # for chunks whose block-max upper bound can't beat θ.
+        decoded = {m.term: _decode_term_blocks(term_rows[m.term], False)[:3] for m in present}
+        bounds = np.unique(
+            np.concatenate(
+                [r["doc_first"].to_numpy() for r in term_rows.values()]
+                + [r["doc_last"].to_numpy() + 1 for r in term_rows.values()]
+            )
+        )
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        for ci in range(bounds.size - 1):
+            lo, hi = int(bounds[ci]), int(bounds[ci + 1]) - 1
+            # upper bound for this chunk from per-block max_score metadata
+            ub = 0.0
+            active = []
+            for m in present:
+                rows = term_rows[m.term]
+                sel = rows[(rows["doc_first"] <= hi) & (rows["doc_last"] >= lo)]
+                if not sel.empty:
+                    ub += float(sel["max_score"].max())
+                    active.append(m)
+            # strict < θ: an exact-θ score could still win the doc_id
+            # tie-break, so equality must be scored, not skipped
+            if not active or (truncate and top_docs.size >= k and ub < theta):
+                continue  # BMW skip
+            docs_all, contrib_all = [], []
+            for m in active:
+                tdocs, ttfs, tdls = decoded[m.term]
+                inlo = np.searchsorted(tdocs, lo)
+                inhi = np.searchsorted(tdocs, hi, side="right")
+                if inhi > inlo:
+                    docs_all.append(tdocs[inlo:inhi])
+                    contrib_all.append(_bm25(ttfs[inlo:inhi], tdls[inlo:inhi], m.idf, avgdl))
+            if not docs_all:
+                continue
+            docs_cat = np.concatenate(docs_all)
+            contrib_cat = np.concatenate(contrib_all)
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            sc = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sc, inv, contrib_cat)
+            top_docs = np.concatenate([top_docs, uniq])
+            top_scores = np.concatenate([top_scores, sc])
+            if truncate and top_docs.size > k:
+                order = np.lexsort((top_docs, -top_scores))[:k]
+                top_docs, top_scores = top_docs[order], top_scores[order]
+                theta = float(top_scores.min())
+        return top_docs, top_scores
+
+    return score_shard
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def search(
+    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
+) -> DataFrame:
+    """Top-k search against a built index. Returns (doc_id, score_e6)."""
+    from newsleak_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    rd = reader or IndexReader(spark, index_dir)
+    has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
+
+    if not spec.all_scored_terms() and not spec.boost_terms:
+        # match_all / filters-only: no scoring, pinned score 1.0
+        out = _apply_meta_filters(rd.docmeta(), spec).select(
+            "doc_id", F.lit(1_000_000).cast("long").alias("score_e6")
+        )
+        return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
+
+    required = list(spec.all_scored_terms())
+    boost = [t for t in spec.boost_terms if t not in required]
+    all_terms = required + boost
+    dict_rows = rd.dictionary_rows(all_terms)
+
+    if any(t not in dict_rows for t in required):
+        # a required term is absent from the collection → no hits (AND)
+        return spark.createDataFrame([], "doc_id long, score_e6 long")
+    all_terms = [t for t in all_terms if t in dict_rows]
+
+    metas = [
+        TermMeta(
+            t,
+            float(dict_rows[t][0]),
+            float(np.log(1.0 + (rd.n_docs - dict_rows[t][0] + 0.5) / (dict_rows[t][0] + 0.5))),
+            t in required,
+        )
+        for t in all_terms
+    ]
+
+    seg = rd.segments_for(all_terms)
+    scorer = _make_shard_scorer(
+        metas, spec.phrases, rd.avgdl, spec.k, truncate=not has_filters
+    )
+    cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
+
+    if has_filters:
+        meta = _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
+        cand = cand.join(meta, "doc_id", "left_semi")
+
+    out = cand.select("doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+    return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
+
+
+def _apply_meta_filters(meta: DataFrame, spec: QuerySpec) -> DataFrame:
+    if spec.role_filter:
+        meta = meta.filter(F.col("role").isin(list(spec.role_filter)))
+    if spec.tool_filter:
+        meta = meta.filter(F.col("tool").isin(list(spec.tool_filter)))
+    if spec.ts_from:
+        meta = meta.filter(F.col("ts").cast("date") >= F.lit(str(spec.ts_from)))
+    if spec.ts_to:
+        meta = meta.filter(F.col("ts").cast("date") <= F.lit(str(spec.ts_to)))
+    return meta

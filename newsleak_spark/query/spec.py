@@ -37,8 +37,8 @@ class QuerySpec:
     def is_match_all(self) -> bool:
         """Empty facets → match_all (ESRequestUtils.scala:275-276)."""
         return not (
-            self.terms or self.phrases or self.role_filter or self.tool_filter
-            or self.ts_from or self.ts_to
+            self.terms or self.phrases or self.boost_terms or self.role_filter
+            or self.tool_filter or self.ts_from or self.ts_to
         )
 
     def cache_key(self) -> str:

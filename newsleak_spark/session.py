@@ -8,8 +8,36 @@ from spark-submit. AQE is on so skewed shuffles re-plan at runtime.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the newsleak_spark package to Python workers (the
+    ``spark-submit --py-files`` analog, applied programmatically).
+
+    Closures for applyInPandas / pandas UDFs reference module-level
+    functions pickled BY REFERENCE — workers must be able to
+    ``import newsleak_spark`` even when the driver process was started
+    from an arbitrary cwd. Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_newsleak_pyfile_added", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", f"newsleak_spark_pkg_{os.getpid()}.zip")
+    tmp = zpath + ".tmp"
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._newsleak_pyfile_added = True
 
 
 def get_spark(

@@ -1,0 +1,103 @@
+"""Segment engine vs brute-force DataFrame BM25: rank identity
+(SURVEY §5.2; the engine must reproduce query/brute.py exactly,
+which itself is oracle-checked against DuckDB and pure Python)."""
+
+import datetime as dt
+import shutil
+
+import pytest
+
+from newsleak_spark.indexing import IndexConfig, build_index
+from newsleak_spark.query import QuerySpec, bm25_topk
+from newsleak_spark.query.engine import IndexReader, search
+
+SPECS = [
+    QuerySpec(terms=("spark",), k=10),
+    QuerySpec(terms=("merge", "window"), k=15),
+    QuerySpec(terms=("table", "fast", "scan"), k=10),
+    QuerySpec(phrases=(("fast", "table"),), k=10),
+    QuerySpec(terms=("value",), phrases=(("fast", "table"),), k=10),
+    QuerySpec(terms=("table",), role_filter=("user",), k=10),
+    QuerySpec(terms=("table",), tool_filter=("tool_3",), k=10),
+    QuerySpec(terms=("row",), ts_from=dt.date(2018, 6, 1), ts_to=dt.date(2020, 6, 30), k=10),
+    QuerySpec(terms=("table",), boost_terms=("spark", "merge"), k=10),
+    QuerySpec(terms=(), boost_terms=("merge", "window"), k=12),  # scored union → BMW
+    QuerySpec(terms=("nosuchterm",), k=10),
+    QuerySpec(k=10),  # match_all
+    QuerySpec(terms=("spark",), k=500),  # k > hits
+]
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    # small blocks + low hot threshold so salting/blocking paths execute
+    cfg = IndexConfig(n_shards=4, n_term_buckets=4, block_size=16, hot_df_ratio=0.3, n_salts=4)
+    build_index(spark, transcripts, d, cfg)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.cache_key())
+def test_engine_matches_brute(spark, transcripts, index_dir, spec):
+    got = [(r.doc_id, r.score_e6) for r in search(spark, index_dir, spec).collect()]
+    want = [(r.doc_id, r.score_e6) for r in bm25_topk(transcripts, spec).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want], f"docID rank mismatch: {got} vs {want}"
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1, f"score mismatch doc {gd}: {gs} vs {ws}"
+
+
+def test_manifest_stats(spark, transcripts, index_dir):
+    rd = IndexReader(spark, index_dir)
+    assert rd.n_docs == transcripts.count()
+    assert rd.avgdl > 0
+    man = rd.man
+    assert man.stats["n_hot_terms"] >= 1  # fixtures guarantee a hot term
+    assert set(man.data["stages"]) == {"tokenized", "docmeta", "dictionary", "segments"}
+    # per-partition lineage recorded for the segment stage
+    seg = man.data["stages"]["segments"]
+    assert seg["partitions"], "expected per-(shard,bucket) lineage"
+    assert sum(p["postings"] for p in seg["partitions"].values()) == man.stats["n_postings"]
+
+
+def test_block_max_invariant(spark, index_dir):
+    """max_score(block) ≥ score(any posting in block) — SURVEY §5.2.4."""
+    import numpy as np
+
+    from newsleak_spark.codec import delta_decode, varint_decode
+    from newsleak_spark.query.engine import _bm25
+
+    rd = IndexReader(spark, index_dir)
+    rows = spark.read.parquet(f"{index_dir}/segments").limit(200).collect()
+    dic = {r["term"]: r["df"] for r in spark.read.parquet(f"{index_dir}/dictionary").collect()}
+    for r in rows:
+        tfs = varint_decode(bytes(r["tfs"])).astype(np.int64)
+        dls = varint_decode(bytes(r["dls"])).astype(np.int64)
+        docs = delta_decode(bytes(r["docs"]))
+        assert len(docs) == r["n"] == len(tfs) == len(dls)
+        assert int(docs[0]) == r["doc_first"] and int(docs[-1]) == r["doc_last"]
+        assert tfs.max() == r["max_tf"]
+        idf = float(np.log(1.0 + (rd.n_docs - dic[r["term"]] + 0.5) / (dic[r["term"]] + 0.5)))
+        scores = _bm25(tfs, dls, idf, rd.avgdl)
+        assert scores.max() <= r["max_score"] + 1e-12
+
+
+def test_salted_hot_term_split(spark, index_dir):
+    """Hot terms must be salted into >1 run; query results already
+    verified identical by the parity tests (SURVEY §5.2.6)."""
+    from pyspark.sql import functions as F
+
+    seg = spark.read.parquet(f"{index_dir}/segments")
+    hot = (
+        spark.read.parquet(f"{index_dir}/dictionary").filter("is_hot").select("term").collect()
+    )
+    assert hot
+    hot_terms = [r["term"] for r in hot]
+    salts = (
+        seg.filter(F.col("term").isin(hot_terms))
+        .groupBy("term", "shard")
+        .agg(F.countDistinct("salt").alias("n_salts"))
+        .agg(F.max("n_salts").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert salts > 1, "hot term was not salted"
