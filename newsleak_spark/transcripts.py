@@ -55,12 +55,13 @@ TRANSCRIPT_SCHEMA = T.StructType(
 # ts is monotone within a conversation and spans multiple years so
 # year/month/day histograms all bucket non-trivially.
 _DERIVE_TEMPLATE = """
-WITH _base AS (
-  SELECT
-    doc_id,
-    text,
-    GREATEST(CAST(FLOOR(COUNT(*) OVER () / 20.0) AS BIGINT), 1) AS n_convs
+WITH _cnt AS (
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) / 20.0) AS BIGINT), 1) AS n_convs
   FROM documents
+),
+_base AS (
+  SELECT doc_id, text, n_convs
+  FROM documents CROSS JOIN _cnt
 ),
 _turns AS (
   SELECT
