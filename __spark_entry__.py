@@ -25,6 +25,10 @@ from newsleak_spark.transcripts import load_transcripts, transcripts_sql
 from newsleak_spark import facets
 from newsleak_spark import textops
 from newsleak_spark import similarity
+from newsleak_spark import curation
+from newsleak_spark import multimodal
+from newsleak_spark.analysis import analyze
+from newsleak_spark.query.spec import parse_query_string, parse_time_range
 
 _PRELUDE = f"WITH transcripts AS ({transcripts_sql('duckdb')}),\n"
 _TOKS = (
@@ -47,6 +51,15 @@ _SPECS = {
     "f1_bm25_nohit": QuerySpec(terms=("zzznohitzzz",), k=10),
     "t1_matchall": QuerySpec(k=20),
 }
+
+# F8: the user-facing string forms — query_string with a quoted phrase
+# (auto-balanced quotes, ESRequestUtils.scala:299-302) and the 4-regex
+# time-range grammar (DateUtils.scala:58-74) — compiled into a spec.
+_F8_TERMS, _F8_PHRASES = parse_query_string('table "fast table', analyzer=analyze)
+_F8_FROM, _F8_TO = parse_time_range("2018-2019")
+_SPECS["f8_parsed_query"] = QuerySpec(
+    terms=_F8_TERMS, phrases=_F8_PHRASES, ts_from=_F8_FROM, ts_to=_F8_TO, k=20
+)
 
 
 def _bm25_query(spec: QuerySpec):
@@ -142,9 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(50)
     )
-    # training-data ops (documents/embeddings tables)
+    # reference query-side parity ops (F9-F11, G2-G4, T2, U, J1/J3/J4, A9)
+    q.update(curation.queries())
+    # training-data ops (documents/embeddings tables) + multimodal plumbing
     q.update(textops.queries())
     q.update(similarity.queries())
+    q.update(multimodal.queries())
     return q
 
 
@@ -239,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT term, COUNT(*) AS cf FROM toks GROUP BY term\n"
         + "ORDER BY cf DESC, term ASC LIMIT 50"
     )
+    o.update(curation.oracle_sql())
     o.update(textops.oracle_sql())
     o.update(similarity.oracle_sql())
+    o.update(multimodal.oracle_sql())
     return o

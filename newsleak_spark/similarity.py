@@ -195,12 +195,78 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+NEARDUP_THRESHOLD = 0.40  # fixture embeddings are random (max pairwise cosine ~0.46)
+NEARDUP_SCOPE = 300  # vec_id bound for the exact-oracle variant
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= NEARDUP_THRESHOLD within
+    vec_id < NEARDUP_SCOPE (exact all-pairs; the LSH bucket join of
+    ann_lsh_topk is the same plan's scale path — candidates from one
+    equi-join instead of the cross product)."""
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < NEARDUP_SCOPE)
+    flat = _flat(e)
+    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    a = flat.select(F.col("vec_id").alias("va"), "i", F.col("e").alias("ea"))
+    b = flat.select(F.col("vec_id").alias("vb"), "i", F.col("e").alias("eb"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "va")
+        .join(F.broadcast(nb), "vb")
+        .withColumn("sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= NEARDUP_THRESHOLD)
+        .select(
+            F.col("va").alias("doc_a"),
+            F.col("vb").alias("doc_b"),
+            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_embedding_cosine_oracle() -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings WHERE vec_id < {NEARDUP_SCOPE}
+),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.e * b.e) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT va, vb, dot / (na.nrm * nb.nrm) AS sim
+  FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+)
+SELECT va AS doc_a, vb AS doc_b, CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4
+FROM sims WHERE sim >= {NEARDUP_THRESHOLD}
+ORDER BY doc_a, doc_b"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,  # no SQL oracle: rows-only check
+        "dedup_embedding_cosine": dedup_embedding_cosine,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return {"ann_cosine_topk": ann_cosine_topk_oracle()}
+    return {
+        "ann_cosine_topk": ann_cosine_topk_oracle(),
+        "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
+    }
