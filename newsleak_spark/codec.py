@@ -22,10 +22,13 @@ _SEVEN = U64(7)
 _MASK = U64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode and also return the byte offset of each value (length
+    n+1), so callers can slice contiguous value ranges out of the
+    encoded stream without re-encoding (vectorized block layout)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes per value = number of 7-bit groups
     nb = np.ones(v.shape, dtype=np.int64)
     tmp = v >> _SEVEN
@@ -42,7 +45,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = ((nb[mask] > j + 1).astype(np.uint8)) << 7
         buf[idx] = byte | cont
         rem >>= _SEVEN
-    return buf.tobytes()
+    return buf.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -1,13 +1,13 @@
 """Inverted-index build pipeline (north_star lineage):
 
   transcripts scan
-    → tokenize (Arrow UDF / JVM regexp)            [stage: tokenized]
+    → tokenize (JVM regexp / Arrow UDF)            [stage: tokenized]
     → docmeta + collection stats (N, avgdl)        [stage: docmeta]
-    → postings groupBy (doc_id, term)              (recomputed per stage,
-                                                    deterministic)
+    → postings groupBy (doc_id, term)              [stage: postings]
     → dictionary (term, df, cf, is_hot)            [stage: dictionary]
-    → salted repartition by (shard, bucket, term, salt)
-    → delta+varint block encode (applyInPandas)    [stage: segments]
+    → salted repartition by (shard, bucket, salt)
+    → delta+varint block encode (applyInPandas,
+      whole-bucket vectorized numpy)               [stage: segments]
     → manifest with per-partition lineage          (committed last)
 
 Layout (SURVEY §4.2 "Partition pruning" — two-level):
@@ -20,12 +20,21 @@ Layout (SURVEY §4.2 "Partition pruning" — two-level):
     INSIDE each shard. A query reads only the buckets of its query
     terms → parquet partition pruning does segment pruning for free.
 
+Postings are computed ONCE and checkpointed; the dictionary is a cheap
+re-aggregation of that checkpoint (the reference recomputes nothing
+because it never scales past one node; we pay one parquet write to
+avoid re-tokenizing the collection twice).
+
 Skew (north_rule "skew handled explicitly"): terms with
 df ≥ hot_df_ratio·N get ``salt = doc_id % n_salts`` in the encode
-shuffle key, so a stopword-frequency term (df ≈ 0.4N in the fixtures)
-encodes as n_salts parallel groups instead of one straggler. Salted
-sub-lists stay separate block runs in the segment; the query side
-merges them (they are disjoint by construction).
+group key, so a stopword-frequency term (df ≈ 0.4N in the fixtures)
+encodes as n_salts parallel groups instead of one straggler. Non-hot
+terms share the (shard, bucket, salt=0) group, so the encode UDF runs
+over ~n_shards·n_term_buckets LARGE pandas frames (vectorized numpy
+across every block in the group) instead of one tiny frame per term —
+per-group Python overhead amortizes to ~zero. Salted sub-lists stay
+separate block runs in the segment; the query side merges them (they
+are disjoint by construction).
 
 Resumability: each stage is skipped when the manifest holds a
 committed record with the same config hash (kill-and-resume tested in
@@ -41,11 +50,11 @@ from dataclasses import asdict, dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark.analysis import ANALYZER_VERSION, tokens_col
-from newsleak_spark.codec import delta_encode, encode_positions, varint_encode
+from newsleak_spark.codec import varint_encode_with_offsets
 from newsleak_spark.indexing.manifest import (
     Manifest,
     StageRecord,
@@ -61,7 +70,7 @@ B = 0.75
 class IndexConfig:
     mode: str = "standard"          # analyzer mode (analysis.py)
     n_shards: int = 8               # doc shards (scale knob)
-    n_term_buckets: int = 8         # term partition column per shard
+    n_term_buckets: int = 32        # term partition column per shard
     block_size: int = 128           # postings per block
     hot_df_ratio: float = 0.05      # df/N above which a term is "hot"
     n_salts: int = 8                # salt fan-out for hot-term encode
@@ -87,63 +96,168 @@ def _bucket_col(term, n_buckets: int):
     return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
 
 
+_POSTINGS_SCHEMA = (
+    "doc_id long, term string, tf int, dl int, shard int, positions array<int>"
+)
+
+
 def _postings(tokenized: DataFrame, with_positions: bool) -> DataFrame:
-    """(doc_id, shard, dl, term, tf[, positions]) — one row per (doc, term)."""
-    ex = tokenized.select(
-        "doc_id", "shard", "dl", F.posexplode("toks").alias("pos", "term")
+    """(doc_id, term, tf, dl, shard, positions) — one row per (doc, term).
+
+    MAP-ONLY: a doc's tokens are already co-located in its ``toks``
+    array, so per-doc term aggregation needs no shuffle — the naive
+    ``posexplode → groupBy(doc_id, term)`` plan shuffles the entire
+    exploded token stream for keys that are already partition-local.
+    Implemented as numpy (flatten → stable lexsort by (doc, term) →
+    run-length reduce) over Arrow batches; positions come out ascending
+    because lexsort is stable and token positions arrive in order.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            toks = pdf["toks"].to_numpy()
+            n_per = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            total = int(n_per.sum())
+            if total == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["dl"].to_numpy(dtype=np.int64)
+            shards = pdf["shard"].to_numpy(dtype=np.int64)
+            flat = np.concatenate([np.asarray(t) for t in toks if len(t)])
+            # int codes instead of strings: lexsort/compare in C, not
+            # per-element Python string comparison
+            codes, uniques = pd.factorize(flat)
+            offs = np.concatenate(([0], np.cumsum(n_per)))
+            doc_idx = np.repeat(np.arange(len(toks)), n_per)
+            pos = (np.arange(total) - np.repeat(offs[:-1], n_per)).astype(np.int32)
+            order = np.lexsort((codes, doc_idx))  # primary doc, secondary term, stable
+            fd, ft, fp = doc_idx[order], codes[order], pos[order]
+            new = np.empty(total, dtype=bool)
+            new[0] = True
+            new[1:] = (fd[1:] != fd[:-1]) | (ft[1:] != ft[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, total)).astype(np.int32)
+            gd = fd[starts]
+            out = {
+                "doc_id": doc_ids[gd],
+                "term": uniques[ft[starts]],
+                "tf": tf,
+                "dl": dls[gd].astype(np.int32),
+                "shard": shards[gd].astype(np.int32),
+            }
+            if with_positions:
+                out["positions"] = np.split(fp, starts[1:])
+            else:
+                out["positions"] = [None] * starts.size
+            yield pd.DataFrame(out)
+
+    return tokenized.select("doc_id", "shard", "dl", "toks").mapInPandas(
+        run, _POSTINGS_SCHEMA
     )
-    aggs = [F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl"), F.first("shard").alias("shard")]
-    if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return ex.groupBy("doc_id", "term").agg(*aggs)
 
 
-def _encode_group_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
+def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
+    """Vectorized whole-group encoder: one pandas frame per
+    (shard, bucket, salt) group, every term run and every block inside
+    it encoded with numpy array programs — varint streams are encoded
+    ONCE for the whole group and sliced per block via byte offsets
+    (codec.varint_encode_with_offsets), block maxima via
+    np.maximum.reduceat. Per-block Python work is a handful of slices.
+
+    Byte format per block is IDENTICAL to encoding each block alone:
+    doc deltas reset to absolute at block starts; position deltas reset
+    at posting starts (posting streams never span blocks).
+    """
     block_size = cfg.block_size
     with_pos = cfg.with_positions
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
-        df_term = float(pdf["df"].iloc[0])
-        idf = np.log(1.0 + (n_docs - df_term + 0.5) / (df_term + 0.5))
-
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort", ignore_index=True)
+        n = len(pdf)
+        terms = pdf["term"].to_numpy()
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
-        poss = pdf["positions"].tolist() if with_pos else None
+        dfs = pdf["df"].to_numpy(dtype=np.float64)
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
 
-        rows = []
-        for seq, lo in enumerate(range(0, len(docs), block_size)):
-            hi = min(lo + block_size, len(docs))
-            d, t, L = docs[lo:hi], tfs[lo:hi], dls[lo:hi]
-            scores = idf * t * (K1 + 1.0) / (t + K1 * (1.0 - B + B * L / avgdl))
-            if with_pos:
-                pc, pf = encode_positions([np.asarray(p, dtype=np.uint64) for p in poss[lo:hi]])
+        # term runs → block boundaries (every run restarts block_seq)
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        run_starts = np.flatnonzero(new_term)
+        run_ends = np.append(run_starts[1:], n)
+        block_starts = np.concatenate(
+            [np.arange(s, e, block_size) for s, e in zip(run_starts, run_ends)]
+        )
+        block_ends = np.append(block_starts[1:], n)
+        # block_seq within each term run
+        run_of_block = np.searchsorted(run_starts, block_starts, side="right") - 1
+        block_seq = (
+            np.arange(block_starts.size)
+            - np.searchsorted(block_starts, run_starts[run_of_block], side="left")
+        )
+
+        # BM25 bounds, vectorized across the whole group
+        idf = np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
+        scores = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+        max_scores = np.maximum.reduceat(scores, block_starts)
+        max_tfs = np.maximum.reduceat(tfs, block_starts)
+
+        # doc deltas: gaps, reset to absolute at block starts
+        deltas = docs.astype(np.uint64)
+        deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+        deltas[block_starts] = docs[block_starts].astype(np.uint64)
+        dbuf, doffs = varint_encode_with_offsets(deltas)
+        tbuf, toffs = varint_encode_with_offsets(tfs.astype(np.uint64))
+        lbuf, loffs = varint_encode_with_offsets(dls.astype(np.uint64))
+
+        if with_pos:
+            pos_lists = pdf["positions"].to_numpy()
+            counts = np.fromiter((len(p) for p in pos_lists), dtype=np.uint64, count=n)
+            cbuf, coffs = varint_encode_with_offsets(counts)
+            pcum = np.concatenate(([0], np.cumsum(counts.astype(np.int64))))
+            total = int(pcum[-1])
+            if total:
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.uint64) for p in pos_lists if len(p)]
+                )
+                fdeltas = flat.copy()
+                fdeltas[1:] = flat[1:] - flat[:-1]
+                first_idx = pcum[:-1][counts > 0]
+                fdeltas[first_idx] = flat[first_idx]
+                fbuf, foffs = varint_encode_with_offsets(fdeltas)
             else:
-                pc, pf = b"", b""
-            rows.append(
-                {
-                    "shard": shard,
-                    "bucket": bucket,
-                    "term": term,
-                    "salt": salt,
-                    "block_seq": seq,
-                    "n": hi - lo,
-                    "doc_first": int(d[0]),
-                    "doc_last": int(d[-1]),
-                    "max_tf": int(t.max()),
-                    "max_score": float(scores.max()),
-                    "docs": delta_encode(d.astype(np.uint64)),
-                    "tfs": varint_encode(t.astype(np.uint64)),
-                    "dls": varint_encode(L.astype(np.uint64)),
-                    "poscnt": pc,
-                    "posflat": pf,
-                }
-            )
+                fbuf, foffs = b"", np.zeros(1, dtype=np.int64)
+
+        rows = {
+            "shard": np.full(block_starts.size, shard, dtype=np.int32),
+            "bucket": np.full(block_starts.size, bucket, dtype=np.int32),
+            "term": terms[block_starts],
+            "salt": np.full(block_starts.size, salt, dtype=np.int32),
+            "block_seq": block_seq.astype(np.int32),
+            "n": (block_ends - block_starts).astype(np.int32),
+            "doc_first": docs[block_starts],
+            "doc_last": docs[block_ends - 1],
+            "max_tf": max_tfs.astype(np.int32),
+            "max_score": max_scores,
+            "docs": [dbuf[doffs[s] : doffs[e]] for s, e in zip(block_starts, block_ends)],
+            "tfs": [tbuf[toffs[s] : toffs[e]] for s, e in zip(block_starts, block_ends)],
+            "dls": [lbuf[loffs[s] : loffs[e]] for s, e in zip(block_starts, block_ends)],
+        }
+        if with_pos:
+            rows["poscnt"] = [
+                cbuf[coffs[s] : coffs[e]] for s, e in zip(block_starts, block_ends)
+            ]
+            rows["posflat"] = [
+                fbuf[foffs[pcum[s]] : foffs[pcum[e]]]
+                for s, e in zip(block_starts, block_ends)
+            ]
+        else:
+            rows["poscnt"] = [b""] * block_starts.size
+            rows["posflat"] = [b""] * block_starts.size
         return pd.DataFrame(rows)
 
     return encode
@@ -171,6 +285,7 @@ def build_index(
 
     tok_path = os.path.join(index_dir, "tokenized")
     meta_path = os.path.join(index_dir, "docmeta")
+    post_path = os.path.join(index_dir, "postings")
     dict_path = os.path.join(index_dir, "dictionary")
     seg_path = os.path.join(index_dir, "segments")
 
@@ -186,8 +301,10 @@ def build_index(
         ).withColumn("dl", F.size("toks")).withColumn(
             "shard", _shard_col(F.col("doc_id"), cfg.n_shards)
         )
-        tokenized.write.mode("overwrite").partitionBy("shard").parquet(tok_path)
-        rows = spark.read.parquet(tok_path).count()
+        obs = Observation("tokenized")
+        tokenized = tokenized.observe(obs, F.count(F.lit(1)).alias("rows"))
+        tokenized.write.mode("overwrite").parquet(tok_path)
+        rows = int(obs.get["rows"])
         man.commit_stage(
             StageRecord("tokenized", rows, time.time() - t0, dir_bytes(tok_path), chash)
         )
@@ -197,34 +314,53 @@ def build_index(
     # ---- stage 2: docmeta + collection stats ------------------------------
     if not (resume and man.stage_done("docmeta", chash)):
         t0 = time.time()
-        tokenized.select("doc_id", "role", "tool", "ts", "dl", "shard").write.mode(
-            "overwrite"
-        ).partitionBy("shard").parquet(meta_path)
-        stats_row = spark.read.parquet(meta_path).agg(
-            F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
-        n_docs = int(stats_row["n"])
-        avgdl = float(stats_row["sum_dl"]) / n_docs if n_docs else 0.0
-        man.set_stats(n_docs=n_docs, avgdl=avgdl, sum_dl=int(stats_row["sum_dl"] or 0))
+        obs = Observation("docmeta")
+        meta = tokenized.select("doc_id", "role", "tool", "ts", "dl", "shard").observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        )
+        meta.write.mode("overwrite").partitionBy("shard").parquet(meta_path)
+        n_docs = int(obs.get["n"])
+        avgdl = float(obs.get["sum_dl"]) / n_docs if n_docs else 0.0
+        man.set_stats(n_docs=n_docs, avgdl=avgdl, sum_dl=int(obs.get["sum_dl"] or 0))
         man.commit_stage(
             StageRecord("docmeta", n_docs, time.time() - t0, dir_bytes(meta_path), chash)
         )
     n_docs = float(man.stats["n_docs"])
     avgdl = float(man.stats["avgdl"])
 
-    # ---- stage 3: dictionary ----------------------------------------------
+    # ---- stage 3: postings checkpoint (computed once, reused twice) -------
+    if not (resume and man.stage_done("postings", chash)):
+        t0 = time.time()
+        p = _postings(tokenized, cfg.with_positions)
+        obs = Observation("postings")
+        p = p.observe(obs, F.count(F.lit(1)).alias("rows"))
+        p.write.mode("overwrite").parquet(post_path)
+        n_post = int(obs.get["rows"])
+        man.set_stats(n_postings=n_post)
+        man.commit_stage(
+            StageRecord("postings", n_post, time.time() - t0, dir_bytes(post_path), chash)
+        )
+
+    postings = spark.read.parquet(post_path)
+
+    # ---- stage 4: dictionary (re-agg of the postings checkpoint) ----------
     if not (resume and man.stage_done("dictionary", chash)):
         t0 = time.time()
-        postings = _postings(tokenized, with_positions=False)
         dictionary = (
             postings.groupBy("term")
             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
             .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_term_buckets))
             .withColumn("is_hot", F.col("df") >= F.lit(cfg.hot_df_ratio) * F.lit(n_docs))
         )
+        obs = Observation("dictionary")
+        dictionary = dictionary.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("is_hot").cast("long")).alias("n_hot"),
+        )
         dictionary.write.mode("overwrite").partitionBy("bucket").parquet(dict_path)
-        n_terms = spark.read.parquet(dict_path).count()
-        n_hot = spark.read.parquet(dict_path).filter("is_hot").count()
+        n_terms = int(obs.get["n_terms"])
+        n_hot = int(obs.get["n_hot"] or 0)
         man.set_stats(n_terms=n_terms, n_hot_terms=n_hot)
         man.commit_stage(
             StageRecord(
@@ -235,12 +371,9 @@ def build_index(
 
     dictionary = spark.read.parquet(dict_path)
 
-    # ---- stage 4: segments (salted encode shuffle) -------------------------
+    # ---- stage 5: segments (salted encode shuffle) -------------------------
     if not (resume and man.stage_done("segments", chash)):
         t0 = time.time()
-        postings = _postings(tokenized, cfg.with_positions)
-        if not cfg.with_positions:
-            postings = postings.withColumn("positions", F.array().cast("array<int>"))
         joined = postings.join(
             dictionary.select("term", "df", "bucket", "is_hot"), "term"
         ).withColumn(
@@ -249,8 +382,8 @@ def build_index(
             .otherwise(F.lit(0))
             .cast("int"),
         )
-        blocks = joined.groupBy("shard", "bucket", "term", "salt").applyInPandas(
-            _encode_group_fn(cfg, n_docs, avgdl), BLOCK_SCHEMA
+        blocks = joined.groupBy("shard", "bucket", "salt").applyInPandas(
+            _encode_bucket_fn(cfg, n_docs, avgdl), BLOCK_SCHEMA
         )
         # second (cheap) shuffle: co-locate each (shard,bucket) partition's
         # blocks and lay rows out term-sorted for parquet row-group pruning

@@ -73,11 +73,16 @@ class IndexReader:
     def docmeta(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docmeta")
 
-    def segments_for(self, terms: list[str]) -> DataFrame:
+    def segments_for(self, terms: list[str], with_positions: bool = True) -> DataFrame:
         buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
-        return self.spark.read.parquet(f"{self.index_dir}/segments").filter(
+        seg = self.spark.read.parquet(f"{self.index_dir}/segments").filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
+        if not with_positions:
+            # positions live in separate columns precisely so term-only
+            # queries never pay their IO (SURVEY §7.5.5)
+            seg = seg.drop("poscnt", "posflat")
+        return seg
 
 
 def _bucket(term: str, n_buckets: int) -> int:
@@ -361,7 +366,7 @@ def search(
         for t in all_terms
     ]
 
-    seg = rd.segments_for(all_terms)
+    seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
         metas, spec.phrases, rd.avgdl, spec.k, truncate=not has_filters
     )

@@ -126,22 +126,48 @@ _VOCAB_SIZE = 50_000
 _HOT_TERM = "spark"  # injected with df ≈ 0.4N to exercise salted merge
 
 
-def _zipf_text_batch(doc_ids: np.ndarray, seed: int) -> list[str]:
-    """Deterministic per-doc text: Zipfian draws from a synthetic vocab.
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    Seeded per doc_id so output is independent of partitioning."""
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — a counter-based hash, so every token of
+    every doc is a pure function of (seed, doc_id, j): deterministic,
+    partition-independent, no per-row RNG objects."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _M64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _M64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _M64
+    return x ^ (x >> np.uint64(31))
+
+
+def _zipf_text_batch(doc_ids: np.ndarray, seed: int) -> list[str]:
+    """Deterministic per-doc text: Zipf-ish draws from a synthetic
+    vocab, fully vectorized (hash → inverse-CDF power law)."""
+    dids = doc_ids.astype(np.uint64)
+    s = np.uint64(seed)
+    h0 = _splitmix64(dids * np.uint64(2654435761) + s)
+    n_tok = (5 + (h0 % np.uint64(115))).astype(np.int64)  # 5..119 tokens
+    offs = np.concatenate(([0], np.cumsum(n_tok)))
+    total = int(offs[-1])
+    # counter per token: doc_id * 2^32 + j  (j < 2^32 always)
+    doc_rep = np.repeat(dids, n_tok)
+    j = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], n_tok)
+    ht = _splitmix64((doc_rep << np.uint64(32)) + j.astype(np.uint64) + s)
+    u = (ht >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # (0,1)
+    # inverse-CDF power law ≈ Zipf(1.3): heavy head, long tail, clipped
+    ids = np.minimum((1.0 / np.maximum(u, 1e-12)) ** (1.0 / 0.3), _VOCAB_SIZE).astype(np.int64)
+    words = np.char.add("w", ids.astype("U7"))
+    hot = (h0 >> np.uint64(8)) % np.uint64(10) < np.uint64(4)  # df ≈ 0.4N
+    rare = (h0 >> np.uint64(16)) % np.uint64(50) == np.uint64(0)
+    long_tok = "reallylong" + "x" * 80  # >70-char token (dropped by cleanup)
     out = []
-    for did in doc_ids:
-        rng = np.random.default_rng(seed * 1_000_003 + int(did))
-        n = int(rng.integers(5, 120))
-        # Zipf over vocab ids; clip to vocab
-        ids = np.minimum(rng.zipf(1.3, size=n), _VOCAB_SIZE)
-        words = [f"w{v}" for v in ids]
-        if rng.random() < 0.4:
-            words.append(_HOT_TERM)  # hot term, df ≈ 0.4N
-        if rng.random() < 0.02:
-            words.append("reallylong" + "x" * 80)  # >70-char token (dropped by cleanup)
-        out.append(" ".join(words))
+    for i in range(len(dids)):
+        w = words[offs[i] : offs[i + 1]]
+        parts = " ".join(w)
+        if hot[i]:
+            parts += " " + _HOT_TERM
+        if rare[i]:
+            parts += " " + long_tok
+        out.append(parts)
     return out
 
 

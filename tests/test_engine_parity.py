@@ -53,7 +53,7 @@ def test_manifest_stats(spark, transcripts, index_dir):
     assert rd.avgdl > 0
     man = rd.man
     assert man.stats["n_hot_terms"] >= 1  # fixtures guarantee a hot term
-    assert set(man.data["stages"]) == {"tokenized", "docmeta", "dictionary", "segments"}
+    assert set(man.data["stages"]) == {"tokenized", "docmeta", "postings", "dictionary", "segments"}
     # per-partition lineage recorded for the segment stage
     seg = man.data["stages"]["segments"]
     assert seg["partitions"], "expected per-(shard,bucket) lineage"
