@@ -58,17 +58,30 @@ class IndexReader:
         self.n_buckets = int(self.man.config["n_term_buckets"])
 
     def dictionary_rows(self, terms: list[str]) -> dict[str, tuple[int, int]]:
-        """term → (df, cf) via partition-pruned dictionary reads."""
+        """term → (df, cf): a driver-side pyarrow point read of ONLY the
+        buckets the query terms hash to (hive partition pruning) with a
+        term predicate pushed to parquet row groups — the term-dictionary
+        lookup of a search engine, not a Spark job. The per-bucket
+        dictionary partition stays small at any collection size because
+        n_term_buckets scales with the term count."""
         if not terms:
             return {}
+        import pyarrow.dataset as ds
+
         buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
-        d = (
-            self.spark.read.parquet(f"{self.index_dir}/dictionary")
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df", "cf")
-            .collect()
+        dataset = ds.dataset(
+            f"{self.index_dir}/dictionary", format="parquet", partitioning="hive"
         )
-        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in d}
+        tbl = dataset.to_table(
+            columns=["term", "df", "cf"],
+            filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
+        )
+        return {
+            t: (int(d), int(c))
+            for t, d, c in zip(
+                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
+            )
+        }
 
     def docmeta(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.index_dir}/docmeta")
@@ -86,21 +99,12 @@ class IndexReader:
 
 
 def _bucket(term: str, n_buckets: int) -> int:
-    # mirror of F.pmod(F.xxhash64(term), n) — computed lazily via Spark once
-    # per process and memoized (xxhash64 seed/semantics live in the JVM).
-    key = (term, n_buckets)
-    if key not in _bucket._cache:  # type: ignore[attr-defined]
-        from pyspark.sql import SparkSession
+    # driver-side mirror of F.pmod(F.xxhash64(term), n): pure-Python
+    # XXH64 (parity pinned by test_xxh64_matches_spark) — no Spark job
+    # for term→bucket routing.
+    from newsleak_spark.xxh import term_bucket
 
-        spark = SparkSession.getActiveSession()
-        rows = spark.createDataFrame([(term,)], "term string").select(
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b")
-        ).collect()
-        _bucket._cache[key] = int(rows[0]["b"])  # type: ignore[attr-defined]
-    return _bucket._cache[key]  # type: ignore[attr-defined]
-
-
-_bucket._cache = {}  # type: ignore[attr-defined]
+    return term_bucket(term, n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +333,27 @@ def _make_shard_scorer(
 # public API
 # ---------------------------------------------------------------------------
 
+_READER_CACHE: dict = {}
+
+
+def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
+    """Reader memo per (index_dir, manifest mtime) — repeated queries
+    skip manifest/config re-reads; a rebuild (new mtime) invalidates."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
+    except OSError:
+        mtime = 0.0
+    key = (index_dir, mtime)
+    rd = _READER_CACHE.get(key)
+    if rd is None or rd.spark is not spark:
+        rd = IndexReader(spark, index_dir)
+        _READER_CACHE.clear()
+        _READER_CACHE[key] = rd
+    return rd
+
+
 def search(
     spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
 ) -> DataFrame:
@@ -336,7 +361,7 @@ def search(
     from newsleak_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
-    rd = reader or IndexReader(spark, index_dir)
+    rd = reader or _cached_reader(spark, index_dir)
     has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
 
     if not spec.all_scored_terms() and not spec.boost_terms:

@@ -101,3 +101,21 @@ def test_salted_hot_term_split(spark, index_dir):
         .collect()[0]["m"]
     )
     assert salts > 1, "hot term was not salted"
+
+
+def test_xxh64_matches_spark(spark):
+    """Driver-side term->bucket routing must equal the JVM's xxhash64
+    (build partitions with F.xxhash64; query prunes with xxh.py)."""
+    from pyspark.sql import functions as F
+
+    from newsleak_spark.xxh import xxh64_signed
+
+    terms = ["spark", "merge", "a", "", "tool_3", "w123456", "x" * 40,
+             "ünïcode-términ", "0123456789abcdef0123456789abcdef0123"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", F.xxhash64("term").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert xxh64_signed(r["term"]) == r["h"], r["term"]
