@@ -102,6 +102,41 @@ def encode_positions(pos_lists: list[np.ndarray]) -> tuple[bytes, bytes]:
     return varint_encode(counts), varint_encode(np.concatenate(flat))
 
 
+def decode_positions_flat(counts_buf: bytes, flat_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode to ragged form: (counts per posting, flat
+    ABSOLUTE positions). Per-posting delta streams are reconstructed
+    with one cumsum + a per-group base subtraction — no per-posting
+    Python loop (the query-path representation; ``decode_positions``
+    below materializes lists for tests/round-trips)."""
+    counts = varint_decode(counts_buf).astype(np.int64)
+    flat = varint_decode(flat_buf).astype(np.int64)
+    if flat.size == 0:
+        return counts, flat
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    nz = counts > 0
+    c = np.cumsum(flat)
+    base = np.zeros(counts.shape, dtype=np.int64)
+    base[nz] = c[starts[nz]] - flat[starts[nz]]
+    return counts, c - np.repeat(base, counts)
+
+
+def gather_ragged(
+    counts: np.ndarray, flat: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Select postings ``idx`` (any order) from a ragged (counts, flat)
+    pair — a vectorized fancy-index for ragged arrays."""
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    sel_counts = counts[idx]
+    total = int(sel_counts.sum())
+    if total == 0:
+        return sel_counts, np.empty(0, dtype=flat.dtype)
+    new_starts = np.concatenate(([0], np.cumsum(sel_counts)))[:-1]
+    gather = np.repeat(starts[idx], sel_counts) + (
+        np.arange(total, dtype=np.int64) - np.repeat(new_starts, sel_counts)
+    )
+    return sel_counts, flat[gather]
+
+
 def decode_positions(counts_buf: bytes, flat_buf: bytes) -> list[np.ndarray]:
     counts = varint_decode(counts_buf).astype(np.int64)
     flat = varint_decode(flat_buf)

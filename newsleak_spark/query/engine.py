@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsleak_spark.codec import decode_positions, delta_decode, varint_decode
+from newsleak_spark.codec import gather_ragged, varint_decode
 from newsleak_spark.indexing.manifest import Manifest
 from newsleak_spark.query.spec import QuerySpec
 
@@ -113,20 +113,39 @@ def _bucket(term: str, n_buckets: int) -> int:
 
 def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
     """Concatenate a term's (possibly salted) block runs into one sorted
-    posting list: (docs, tfs, dls, positions|None)."""
-    docs_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
-    for _, r in rows.iterrows():
-        docs_parts.append(delta_decode(bytes(r["docs"])).astype(np.int64))
-        tf_parts.append(varint_decode(bytes(r["tfs"])).astype(np.int64))
-        dl_parts.append(varint_decode(bytes(r["dls"])).astype(np.int64))
-        if want_positions:
-            pos_parts.extend(decode_positions(bytes(r["poscnt"]), bytes(r["posflat"])))
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tf_parts)
-    dls = np.concatenate(dl_parts)
+    posting list: (docs, tfs, dls, positions|None).
+
+    Varint streams are self-delimiting, so all blocks decode in ONE
+    pass per column (``b"".join`` → one vectorized varint_decode) —
+    no per-block Python loop. Doc deltas reset to absolute at block
+    starts; the reset points are recovered from the per-block ``n``.
+    positions is a ragged (counts, flat) pair, never Python lists.
+    """
+    ns = rows["n"].to_numpy(dtype=np.int64)
+    block_starts = np.concatenate(([0], np.cumsum(ns)))[:-1]
+    deltas = varint_decode(b"".join(rows["docs"])).astype(np.int64)
+    c = np.cumsum(deltas)
+    base = c[block_starts] - deltas[block_starts]
+    docs = c - np.repeat(base, ns)
+    tfs = varint_decode(b"".join(rows["tfs"])).astype(np.int64)
+    dls = varint_decode(b"".join(rows["dls"])).astype(np.int64)
     order = np.argsort(docs, kind="stable")  # salted runs interleave
     docs, tfs, dls = docs[order], tfs[order], dls[order]
-    pos = [pos_parts[i] for i in order] if want_positions else None
+    if want_positions:
+        counts = varint_decode(b"".join(rows["poscnt"])).astype(np.int64)
+        fdeltas = varint_decode(b"".join(rows["posflat"])).astype(np.int64)
+        if fdeltas.size:
+            pstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            nz = counts > 0
+            fc = np.cumsum(fdeltas)
+            fbase = np.zeros(counts.shape, dtype=np.int64)
+            fbase[nz] = fc[pstarts[nz]] - fdeltas[pstarts[nz]]
+            flat = fc - np.repeat(fbase, counts)
+        else:
+            flat = fdeltas
+        pos = gather_ragged(counts, flat, order)
+    else:
+        pos = None
     return docs, tfs, dls, pos
 
 
@@ -163,14 +182,16 @@ def _make_shard_scorer(
             return empty
 
         if required:
-            cand, per_term, positions = _intersect_required(by_term)
+            cand, per_term = _intersect_required(by_term)
             if cand is None or cand.size == 0:
                 return empty
-            if phrases and not _check_phrases(cand, positions):
-                return empty
-            cand, per_term = _phrase_filter(cand, per_term, positions)
-            if cand.size == 0:
-                return empty
+            if phrases:
+                # positions decoded LATE: only blocks that still contain
+                # candidates after the doc intersection pay position IO
+                positions = _positions_for(by_term, cand)
+                cand, per_term = _phrase_filter(cand, per_term, positions)
+                if cand.size == 0:
+                    return empty
             score = np.zeros(cand.size, dtype=np.float64)
             # fixed term order (query order) for float determinism
             for m in metas:
@@ -196,58 +217,79 @@ def _make_shard_scorer(
 
     def _intersect_required(by_term):
         """Rarest-first sorted intersection with candidate-driven block
-        pruning; returns (cand, {term: (tf, dl)}, {term: positions})."""
+        pruning; returns (cand, {term: (tf, dl)}). Positions are NOT
+        decoded here — _positions_for runs after the intersection."""
         m0 = req_order[0]
-        want_pos0 = m0.term in phrase_terms
-        docs, tfs, dls, pos = _decode_term_blocks(by_term[m0.term], want_pos0)
+        docs, tfs, dls, _ = _decode_term_blocks(by_term[m0.term], False)
         cand = docs
         per = {m0.term: (tfs, dls)}
-        positions = {m0.term: pos} if want_pos0 else {}
         dl_ref = dls
         for m in req_order[1:]:
             rows = _prune_blocks_by_range(by_term[m.term], cand)
             if rows.empty:
-                return None, None, None
-            want_pos = m.term in phrase_terms
-            tdocs, ttfs, _tdls, tpos = _decode_term_blocks(rows, want_pos)
+                return None, None
+            tdocs, ttfs, _tdls, _ = _decode_term_blocks(rows, False)
             idx = np.searchsorted(tdocs, cand)
             idx_c = np.minimum(idx, tdocs.size - 1)
             mask = tdocs[idx_c] == cand
             mask &= idx < tdocs.size
-            # shrink every aligned array
             cand = cand[mask]
             dl_ref = dl_ref[mask]
             for t in per:
                 tfv, dlv = per[t]
                 per[t] = (tfv[mask], dlv[mask])
-            for t in positions:
-                positions[t] = [p for p, keep in zip(positions[t], mask) if keep]
             sel = idx_c[mask]
             per[m.term] = (ttfs[sel], dl_ref)
-            if want_pos:
-                positions[m.term] = [tpos[i] for i in sel]
             if cand.size == 0:
-                return None, None, None
-        return cand, per, positions
+                return None, None
+        return cand, per
 
-    def _check_phrases(cand, positions):
-        return all(t in positions for p in phrases for t in p)
+    def _positions_for(by_term, cand):
+        """Ragged positions aligned to cand for every phrase term: prune
+        blocks to the surviving candidate range, decode, and gather the
+        candidate postings (cand ⊆ term docs because phrase terms are
+        required)."""
+        out = {}
+        for t in phrase_terms:
+            rows = _prune_blocks_by_range(by_term[t], cand)
+            tdocs, _ttfs, _tdls, tpos = _decode_term_blocks(rows, True)
+            idx = np.searchsorted(tdocs, cand)
+            out[t] = gather_ragged(*tpos, idx)
+        return out
+
+    def _phrase_keys(pos_pair, off):
+        """Ragged (counts, flat) positions → sorted unique int64 keys
+        (cand_idx << 21 | (pos - off + 1)); a key present for every
+        token offset of a phrase marks a phrase start."""
+        counts, flat = pos_pair
+        if flat.size == 0:
+            return np.empty(0, dtype=np.int64)
+        docidx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        shifted = flat.astype(np.int64) - off + 1  # +1 keeps pos=0,off=1 non-negative
+        keys = (docidx << 21) | shifted
+        keys = keys[shifted >= 0]
+        return np.unique(keys)
 
     def _phrase_filter(cand, per_term, positions):
+        """Vectorized phrase check: the candidate set keeps doc i iff,
+        for every phrase, the per-offset key sets intersect at some
+        start position — sorted-array intersections, no per-doc loop."""
         if not phrases:
             return cand, per_term
         keep = np.ones(cand.size, dtype=bool)
-        for i in range(cand.size):
-            for p in phrases:
-                starts = positions[p[0]][i].astype(np.int64)
-                for off, t in enumerate(p[1:], start=1):
-                    nxt = positions[t][i].astype(np.int64)
-                    starts = starts[np.isin(starts + off, nxt)]
-                    if starts.size == 0:
-                        break
-                if starts.size == 0:
-                    keep[i] = False
+        for p in phrases:
+            inter = None
+            for off, t in enumerate(p):
+                keys = _phrase_keys(positions[t], off)
+                inter = keys if inter is None else np.intersect1d(
+                    inter, keys, assume_unique=True
+                )
+                if inter.size == 0:
                     break
+            pkeep = np.zeros(cand.size, dtype=bool)
+            if inter is not None and inter.size:
+                pkeep[np.unique(inter >> 21)] = True
+            keep &= pkeep
         cand = cand[keep]
         per_term = {t: (v[0][keep], v[1][keep]) for t, v in per_term.items()}
         return cand, per_term
