@@ -92,6 +92,21 @@ def _engine_index(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+def _engine_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Base built from 2/3 of the turns, the rest appended as a delta —
+    the query result must still hash-match the same full-collection
+    oracle (combined stats reproduce exact BM25; tests/test_incremental)."""
+    from newsleak_spark.indexing import append_index, list_deltas
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/newsleak_inc_{tag}_{config_hash(_ENGINE_CFG.as_dict())}"
+    t = load_transcripts(spark, sf_dir)
+    build_index(spark, t.filter(F.col("doc_id") % 3 != 0), d, _ENGINE_CFG, resume=True)
+    if not list_deltas(d):
+        append_index(spark, t.filter(F.col("doc_id") % 3 == 0), d, _ENGINE_CFG)
+    return d
+
+
 def _engine_query(spec: QuerySpec):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return search(spark, _engine_index(spark, sf_dir), spec)
@@ -128,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _bm25_query(spec)
     for ename, ref in _ENGINE_SPECS.items():
         q[ename] = _engine_query(_SPECS[ref] if ref else _UNION_SPEC)
+
+    def _inc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return search(spark, _engine_incremental_index(spark, sf_dir), _SPECS["f1_bm25_and"])
+
+    q["e2_incremental_and"] = _inc_query
 
     q["g1_facet_role"] = _transcripts_q(lambda t: facets.facet_counts(t, "role", k=50))
     q["g1_facet_tool_include"] = _transcripts_q(
@@ -170,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         o[name] = bm25_topk_oracle_sql(spec)
     for ename, ref in _ENGINE_SPECS.items():
         o[ename] = bm25_topk_oracle_sql(_SPECS[ref] if ref else _UNION_SPEC)
+    o["e2_incremental_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
 
     o["g1_facet_role"] = (
         _PRELUDE

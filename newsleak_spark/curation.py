@@ -239,6 +239,25 @@ def j3_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _J4_SPEC = QuerySpec(terms=("spark",), k=20)
+_HL_SPEC = QuerySpec(terms=("merge",), k=10)
+
+
+def p2_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/getDocs highlight: top-k hits with the whole document
+    highlighted — query-term word matches wrapped in <em> tags
+    (DocumentService.scala:406-418: 0 fragments = whole doc, <em>)."""
+    t = load_transcripts(spark, sf_dir)
+    hits = bm25_topk(t, _HL_SPEC)
+    pat = "(?i)\\b(" + "|".join(_HL_SPEC.terms) + ")\\b"
+    return (
+        hits.join(t.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "score_e6",
+            F.regexp_replace("text", pat, "<em>$1</em>").alias("highlighted"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+    )
 
 
 def j4_hits_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_tags_labels": j1_tags_labels,
         "j3_duplicates": j3_duplicates,
         "j4_hits_metadata": j4_hits_metadata,
+        "p2_highlight": p2_highlight,
         "a9_keyterms": a9_keyterms,
     }
 
@@ -406,6 +426,15 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE.rstrip(",\n")
         + f"\n, hits AS ({bm25_topk_oracle_sql(_J4_SPEC)})\n"
         + "SELECT h.doc_id, h.score_e6, t.conv_id, t.turn_idx, t.role, t.tool\n"
+        + "FROM hits h JOIN transcripts t USING (doc_id)\n"
+        + "ORDER BY score_e6 DESC, doc_id ASC"
+    )
+    hl_pat = "(?i)\\b(" + "|".join(_HL_SPEC.terms) + ")\\b"
+    o["p2_highlight"] = (
+        _PRELUDE.rstrip(",\n")
+        + f"\n, hits AS ({bm25_topk_oracle_sql(_HL_SPEC)})\n"
+        + "SELECT h.doc_id, h.score_e6,\n"
+        + f"       regexp_replace(t.text, '{hl_pat}', '<em>\\1</em>', 'g') AS highlighted\n"
         + "FROM hits h JOIN transcripts t USING (doc_id)\n"
         + "ORDER BY score_e6 DESC, doc_id ASC"
     )

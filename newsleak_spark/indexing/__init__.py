@@ -1,4 +1,9 @@
-from newsleak_spark.indexing.build import IndexConfig, build_index
+from newsleak_spark.indexing.build import (
+    IndexConfig,
+    append_index,
+    build_index,
+    list_deltas,
+)
 from newsleak_spark.indexing.manifest import Manifest
 
-__all__ = ["IndexConfig", "build_index", "Manifest"]
+__all__ = ["IndexConfig", "append_index", "build_index", "list_deltas", "Manifest"]

@@ -421,3 +421,69 @@ def build_index(
         )
 
     return man
+
+
+# ---------------------------------------------------------------------------
+# Incremental append (delta indexes)
+# ---------------------------------------------------------------------------
+
+DELTAS_FILE = "deltas.json"
+
+
+def list_deltas(index_dir: str) -> list[str]:
+    """Registered delta subdirectory names, in append order."""
+    import json
+
+    path = os.path.join(index_dir, DELTAS_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)["deltas"]
+
+
+def append_index(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    index_dir: str,
+    cfg: IndexConfig | None = None,
+    resume: bool = True,
+) -> Manifest:
+    """Incrementally index new turns WITHOUT rebuilding the base: a
+    full mini-index (same 5 resumable stages) is built under
+    ``index_dir/delta_NNNN`` and registered commit-last in
+    ``deltas.json``. The query side (engine.IndexReader) unions base +
+    deltas and combines collection stats (N, avgdl, df) at query time,
+    so scores equal a from-scratch build's exactly; BMW block bounds
+    switch to a stats-independent form because the per-part stored
+    bounds were computed under each part's own snapshot stats.
+
+    At 10^12-turn scale this is the daily-ingest path: delta cost is
+    O(new turns); periodic compaction = full rebuild. doc_ids must be
+    globally unique across base + deltas (deterministic ids from
+    (conv_id, turn_idx) guarantee this; see transcripts.composite_doc_id).
+
+    Retry-safe: a killed append re-enters the same delta dir (its own
+    manifest resumes unfinished stages) and registration is idempotent.
+    """
+    import json
+
+    cfg = cfg or IndexConfig()
+    base_man = Manifest(index_dir)
+    chash = config_hash(cfg.as_dict())
+    if base_man.config and base_man.config.get("_hash") != chash:
+        raise ValueError(
+            "delta config must match the base index config "
+            f"({base_man.config.get('_hash')} != {chash})"
+        )
+    existing = list_deltas(index_dir)
+    name = f"delta_{len(existing):04d}"
+    man = build_index(
+        spark, new_transcripts, os.path.join(index_dir, name), cfg, resume=resume
+    )
+    if name not in existing:
+        path = os.path.join(index_dir, DELTAS_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"deltas": existing + [name]}, f)
+        os.replace(tmp, path)  # commit-last
+    return man

@@ -45,16 +45,36 @@ class TermMeta:
 
 
 class IndexReader:
-    """Driver-side handle on an index directory + manifest snapshot."""
+    """Driver-side handle on an index (base + registered deltas).
+
+    With deltas present, collection stats are COMBINED at read time
+    (N and sum_dl add; df sums per term), so BM25 scores equal a
+    from-scratch build's exactly; ``multi`` flags the scorer to use
+    stats-independent block bounds (each part's stored max_score was
+    computed under that part's own snapshot stats)."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
+        import os
+
+        from newsleak_spark.indexing.build import list_deltas
+
         self.spark = spark
         self.index_dir = index_dir
+        self.parts = [index_dir] + [
+            os.path.join(index_dir, d) for d in list_deltas(index_dir)
+        ]
         self.man = Manifest(index_dir)
-        if not self.man.stats.get("n_docs"):
-            raise ValueError(f"no built index at {index_dir}")
-        self.n_docs = float(self.man.stats["n_docs"])
-        self.avgdl = float(self.man.stats["avgdl"])
+        mans = [self.man] + [Manifest(p) for p in self.parts[1:]]
+        for p, m in zip(self.parts, mans):
+            if not m.stats.get("n_docs"):
+                raise ValueError(f"no built index at {p}")
+            if m.config.get("_hash") != self.man.config.get("_hash"):
+                raise ValueError(f"delta {p} was built with a different config")
+        self.multi = len(self.parts) > 1
+        n = sum(int(m.stats["n_docs"]) for m in mans)
+        sum_dl = sum(int(m.stats["sum_dl"]) for m in mans)
+        self.n_docs = float(n)
+        self.avgdl = sum_dl / n if n else 0.0
         self.n_buckets = int(self.man.config["n_term_buckets"])
 
     def dictionary_rows(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -69,26 +89,35 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
-        dataset = ds.dataset(
-            f"{self.index_dir}/dictionary", format="parquet", partitioning="hive"
-        )
-        tbl = dataset.to_table(
-            columns=["term", "df", "cf"],
-            filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
-        )
-        return {
-            t: (int(d), int(c))
+        out: dict[str, tuple[int, int]] = {}
+        for part in self.parts:
+            dataset = ds.dataset(
+                f"{part}/dictionary", format="parquet", partitioning="hive"
+            )
+            tbl = dataset.to_table(
+                columns=["term", "df", "cf"],
+                filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
+            )
             for t, d, c in zip(
                 tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
-            )
-        }
+            ):
+                pd_, pc = out.get(t, (0, 0))
+                out[t] = (pd_ + int(d), pc + int(c))
+        return out
+
+    def _union_parts(self, sub: str) -> DataFrame:
+        dfs = [self.spark.read.parquet(f"{p}/{sub}") for p in self.parts]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def docmeta(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docmeta")
+        return self._union_parts("docmeta")
 
     def segments_for(self, terms: list[str], with_positions: bool = True) -> DataFrame:
         buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
-        seg = self.spark.read.parquet(f"{self.index_dir}/segments").filter(
+        seg = self._union_parts("segments").filter(
             F.col("bucket").isin(buckets) & F.col("term").isin(terms)
         )
         if not with_positions:
@@ -167,6 +196,7 @@ def _make_shard_scorer(
     avgdl: float,
     k: int,
     truncate: bool,
+    safe_bounds: bool = False,
 ):
     """Returns the applyInPandas function scoring one shard's blocks."""
     required = [m for m in metas if m.required]
@@ -339,7 +369,16 @@ def _make_shard_scorer(
                 rows = term_rows[m.term]
                 sel = rows[(rows["doc_first"] <= hi) & (rows["doc_last"] >= lo)]
                 if not sel.empty:
-                    ub += float(sel["max_score"].max())
+                    if safe_bounds:
+                        # stats-independent bound: stored max_score was
+                        # computed under the part's OWN snapshot stats,
+                        # invalid once deltas change N/avgdl/df. For any
+                        # dl, avgdl > 0: tf_norm ≤ tf(k1+1)/(tf+k1(1-b)),
+                        # monotone in tf → bound from stored max_tf.
+                        mt = float(sel["max_tf"].max())
+                        ub += m.idf * mt * (K1 + 1.0) / (mt + K1 * (1.0 - B))
+                    else:
+                        ub += float(sel["max_score"].max())
                     active.append(m)
             # strict < θ: an exact-θ score could still win the doc_id
             # tie-break, so equality must be scored, not skipped
@@ -387,7 +426,11 @@ def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
         mtime = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
     except OSError:
         mtime = 0.0
-    key = (index_dir, mtime)
+    try:
+        dmtime = os.path.getmtime(os.path.join(index_dir, "deltas.json"))
+    except OSError:
+        dmtime = 0.0
+    key = (index_dir, mtime, dmtime)
     rd = _READER_CACHE.get(key)
     if rd is None or rd.spark is not spark:
         rd = IndexReader(spark, index_dir)
@@ -435,7 +478,8 @@ def search(
 
     seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
-        metas, spec.phrases, rd.avgdl, spec.k, truncate=not has_filters
+        metas, spec.phrases, rd.avgdl, spec.k,
+        truncate=not has_filters, safe_bounds=rd.multi,
     )
     cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
 
