@@ -238,6 +238,31 @@ def j3_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDGE = ("tool_1", "tool_2")
+
+
+def j6_edge_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge keyterms (NetworkService.scala:226-230): the keyword facet
+    of documents where BOTH endpoint entities of a network edge occur
+    — convs using both tools, semi-joined twice, then G2 over their
+    turns. Top 10."""
+    t = load_transcripts(spark, sf_dir)
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "tool").distinct()
+    convs = (
+        tools.filter(F.col("tool") == _EDGE[0])
+        .select("conv_id")
+        .join(tools.filter(F.col("tool") == _EDGE[1]).select("conv_id"), "conv_id", "left_semi")
+    )
+    docs = t.join(convs, "conv_id", "left_semi")
+    dt = docs.select("doc_id", F.explode(_toks()).alias("term")).distinct()
+    return (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term"))
+        .limit(10)
+    )
+
+
 _J4_SPEC = QuerySpec(terms=("spark",), k=20)
 _HL_SPEC = QuerySpec(terms=("merge",), k=10)
 
@@ -344,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_tags_labels": j1_tags_labels,
         "j3_duplicates": j3_duplicates,
         "j4_hits_metadata": j4_hits_metadata,
+        "j6_edge_keyterms": j6_edge_keyterms,
         "p2_highlight": p2_highlight,
         "a9_keyterms": a9_keyterms,
     }
@@ -428,6 +454,16 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT h.doc_id, h.score_e6, t.conv_id, t.turn_idx, t.role, t.tool\n"
         + "FROM hits h JOIN transcripts t USING (doc_id)\n"
         + "ORDER BY score_e6 DESC, doc_id ASC"
+    )
+    o["j6_edge_keyterms"] = (
+        _PRELUDE
+        + "tl AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL),\n"
+        + f"convs AS (SELECT conv_id FROM tl WHERE tool = '{_EDGE[0]}'\n"
+        + f"          INTERSECT SELECT conv_id FROM tl WHERE tool = '{_EDGE[1]}'),\n"
+        + "dt AS (SELECT DISTINCT doc_id, unnest(" + _TOKS_SQL + ") AS term\n"
+        + "       FROM transcripts WHERE conv_id IN (SELECT conv_id FROM convs))\n"
+        + "SELECT term, COUNT(*) AS n_docs FROM dt GROUP BY term\n"
+        + "ORDER BY n_docs DESC, term ASC LIMIT 10"
     )
     hl_pat = "(?i)\\b(" + "|".join(_HL_SPEC.terms) + ")\\b"
     o["p2_highlight"] = (

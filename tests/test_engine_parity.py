@@ -119,3 +119,22 @@ def test_xxh64_matches_spark(spark):
     )
     for r in rows:
         assert xxh64_signed(r["term"]) == r["h"], r["term"]
+
+
+def test_english_mode_engine_vs_brute(spark, transcripts, tmp_path):
+    """Full-chain english analyzer (normalize -> tokenize -> cleanup ->
+    stopwords -> Porter stem) end-to-end: engine built with
+    mode='english' must rank-match the brute DataFrame path in the
+    same mode; query terms pass through the same analyzer."""
+    from newsleak_spark.analysis import analyze
+    from newsleak_spark.query.brute import bm25_topk as brute_topk
+
+    cfg = IndexConfig(mode="english", n_shards=2, n_term_buckets=4, block_size=16)
+    d = str(tmp_path / "eng_idx")
+    build_index(spark, transcripts, d, cfg, resume=False)
+    for raw_terms in [["tables"], ["merged", "window"]]:
+        terms = tuple(t for rt in raw_terms for t in analyze(rt, "english"))
+        spec = QuerySpec(terms=terms, k=15)
+        want = [(r["doc_id"], r["score_e6"]) for r in brute_topk(transcripts, spec, mode="english").collect()]
+        got = [(r["doc_id"], r["score_e6"]) for r in search(spark, d, spec).collect()]
+        assert got == want, (terms, got[:3], want[:3])
