@@ -195,18 +195,29 @@ def _make_shard_scorer(
     phrases: tuple[tuple[str, ...], ...],
     avgdl: float,
     k: int,
-    truncate: bool,
+    truncate: bool = True,
     safe_bounds: bool = False,
 ):
-    """Returns the applyInPandas function scoring one shard's blocks."""
+    """Returns the applyInPandas function scoring one shard's blocks.
+
+    With metadata/date filters the function is used through cogroup:
+    the second frame carries the shard's FILTER-SURVIVING doc_ids, so
+    filtering happens shard-locally and per-shard top-k truncation
+    stays on — no untruncated candidate set ever leaves a shard.
+    """
     required = [m for m in metas if m.required]
     optional = [m for m in metas if not m.required]
     phrase_terms = {t for p in phrases for t in p}
     idf = {m.term: m.idf for m in metas}
     req_order = sorted(required, key=lambda m: (m.df, m.term))  # rarest first
 
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score(pdf: pd.DataFrame, allowed_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        allowed = None
+        if allowed_pdf is not None:
+            allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
+            if allowed.size == 0:
+                return empty
         by_term = {t: g for t, g in pdf.groupby("term")}
         if any(m.term not in by_term for m in required):
             return empty
@@ -215,6 +226,12 @@ def _make_shard_scorer(
             cand, per_term = _intersect_required(by_term)
             if cand is None or cand.size == 0:
                 return empty
+            if allowed is not None:
+                mask = _member_mask(cand, allowed)
+                cand = cand[mask]
+                per_term = {t: (v[0][mask], v[1][mask]) for t, v in per_term.items()}
+                if cand.size == 0:
+                    return empty
             if phrases:
                 # positions decoded LATE: only blocks that still contain
                 # candidates after the doc intersection pay position IO
@@ -233,7 +250,9 @@ def _make_shard_scorer(
             out_docs, out_scores = cand, score
         else:
             # scored union (OR / boost-only): block-max WAND
-            out_docs, out_scores = _bmw_union(by_term, [m for m in metas if m.term in by_term])
+            out_docs, out_scores = _bmw_union(
+                by_term, [m for m in metas if m.term in by_term], allowed
+            )
             if out_docs.size == 0:
                 return empty
 
@@ -242,6 +261,21 @@ def _make_shard_scorer(
             order = np.lexsort((out_docs, -out_scores))[:k]
             out_docs, out_scores = out_docs[order], out_scores[order]
         return pd.DataFrame({"doc_id": out_docs.astype(np.int64), "score": out_scores})
+
+    def _member_mask(docs, allowed):
+        idx = np.searchsorted(allowed, docs)
+        idx_c = np.minimum(idx, allowed.size - 1)
+        return (idx < allowed.size) & (allowed[idx_c] == docs)
+
+    # applyInPandas arity is semantic: 1-arg = (pdf), 2-arg = (key, pdf);
+    # cogroup 2-arg = (left, right) — expose explicit wrappers
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score(pdf, None)
+
+    def score_shard_cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return _score(left, right)
+
+    score_shard.cogrouped = score_shard_cogrouped
 
     # -- helpers bound to closure -------------------------------------------
 
@@ -338,7 +372,7 @@ def _make_shard_scorer(
         out[mask] = _bm25(ttfs[sel], tdls[sel], idf[t], avgdl)
         return out
 
-    def _bmw_union(by_term, present):
+    def _bmw_union(by_term, present, allowed=None):
         """Block-max WAND over the union of posting lists.
 
         Doc space is chunked at the union of block boundaries; a chunk
@@ -399,6 +433,11 @@ def _make_shard_scorer(
             uniq, inv = np.unique(docs_cat, return_inverse=True)
             sc = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(sc, inv, contrib_cat)
+            if allowed is not None:
+                amask = _member_mask(uniq, allowed)
+                uniq, sc = uniq[amask], sc[amask]
+                if uniq.size == 0:
+                    continue
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
             if truncate and top_docs.size > k:
@@ -478,14 +517,21 @@ def search(
 
     seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
-        metas, spec.phrases, rd.avgdl, spec.k,
-        truncate=not has_filters, safe_bounds=rd.multi,
+        metas, spec.phrases, rd.avgdl, spec.k, safe_bounds=rd.multi
     )
-    cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
-
     if has_filters:
-        meta = _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
-        cand = cand.join(meta, "doc_id", "left_semi")
+        # shard-local filtering: cogroup the shard's blocks with its
+        # filter-surviving doc_ids (docmeta is shard-partitioned, so
+        # the filter scan prunes columns + pushes predicates) — the
+        # per-shard top-k heap stays on; only k rows leave each shard
+        meta = _apply_meta_filters(rd.docmeta(), spec).select("shard", "doc_id")
+        cand = (
+            seg.groupBy("shard")
+            .cogroup(meta.groupBy("shard"))
+            .applyInPandas(scorer.cogrouped, "doc_id long, score double")
+        )
+    else:
+        cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
 
     out = cand.select("doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
