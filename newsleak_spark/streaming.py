@@ -1,0 +1,99 @@
+"""Structured Streaming ingest → incremental index deltas.
+
+The reference is batch-only (SURVEY §2.10); a 10^12-turn transcript
+table, however, grows continuously, so the Spark-native ingest path is
+``readStream`` over the landing directory with ``foreachBatch`` calling
+the SAME resumable delta-append machinery used for batch increments
+(indexing.append_index): every micro-batch becomes one registered
+delta, queryable immediately with exact combined-stats BM25
+(tests/test_incremental.py proves rank identity vs a full rebuild).
+
+Exactly-once across restarts comes from two cooperating mechanisms:
+  - Spark's streaming checkpoint replays an unfinished micro-batch;
+  - the batch-id ledger (``stream_batches.json``) makes the replayed
+    ``foreachBatch`` a no-op if its delta was already registered, and
+    append_index itself resumes a half-built delta stage-by-stage.
+
+``trigger(availableNow=True)`` drains the backlog and stops — the
+batch-job-with-streaming-semantics mode used in tests and cron-style
+ingest; omit it for a long-running continuous ingester.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from newsleak_spark.indexing import IndexConfig, append_index, build_index
+from newsleak_spark.transcripts import TRANSCRIPT_SCHEMA
+
+BATCH_LEDGER = "stream_batches.json"
+
+
+def _ledger_path(index_dir: str) -> str:
+    return os.path.join(index_dir, BATCH_LEDGER)
+
+
+def _seen_batches(index_dir: str) -> dict[str, str]:
+    try:
+        with open(_ledger_path(index_dir)) as f:
+            return json.load(f)
+    except OSError:
+        return {}
+
+
+def _record_batch(index_dir: str, batch_id: int, delta: str) -> None:
+    seen = _seen_batches(index_dir)
+    seen[str(batch_id)] = delta
+    tmp = _ledger_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(seen, f)
+    os.replace(tmp, _ledger_path(index_dir))
+
+
+def ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    cfg: IndexConfig | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """File-source streaming ingest: new parquet drops under
+    ``input_dir`` become index deltas. Returns the StreamingQuery
+    (already started); with ``available_now`` the caller should
+    ``awaitTermination()`` to drain the backlog."""
+    cfg = cfg or IndexConfig()
+
+    reader = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if str(batch_id) in _seen_batches(index_dir):
+            return  # replay after restart: delta already committed
+        from newsleak_spark.indexing.build import list_deltas
+
+        if os.path.exists(os.path.join(index_dir, "manifest.json")):
+            append_index(spark, batch_df, index_dir, cfg, resume=True)
+            delta = list_deltas(index_dir)[-1]
+        else:
+            build_index(spark, batch_df, index_dir, cfg, resume=True)
+            delta = "base"
+        _record_batch(index_dir, batch_id, delta)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

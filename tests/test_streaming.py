@@ -1,0 +1,59 @@
+"""Structured Streaming ingest: parquet drops → index deltas, with
+exactly-once across re-runs and query parity vs a full batch build."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsleak_spark import streaming
+from newsleak_spark.indexing import IndexConfig, build_index, list_deltas
+from newsleak_spark.query import QuerySpec
+from newsleak_spark.query.engine import search
+
+CFG = IndexConfig(n_shards=2, n_term_buckets=4, block_size=16)
+SPEC = QuerySpec(terms=("merge", "window"), k=15)
+
+
+@pytest.fixture(scope="module")
+def dirs(spark, transcripts, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    land = str(root / "landing")
+    idx = str(root / "idx")
+    ckpt = str(root / "ckpt")
+    full = str(root / "full")
+    build_index(spark, transcripts, full, CFG, resume=False)
+    yield land, idx, ckpt, full, root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _drain(spark, land, idx, ckpt):
+    q = streaming.ingest_stream(spark, land, idx, ckpt, CFG, available_now=True)
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_two_drops_then_parity(spark, transcripts, dirs):
+    land, idx, ckpt, full, _ = dirs
+    # drop 1 → base index
+    transcripts.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(land)
+    _drain(spark, land, idx, ckpt)
+    assert list_deltas(idx) == []
+    n1 = [(r["doc_id"], r["score_e6"]) for r in search(spark, idx, SPEC).collect()]
+    assert n1  # base alone answers queries
+
+    # drop 2 → delta append
+    transcripts.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(land)
+    _drain(spark, land, idx, ckpt)
+    assert list_deltas(idx) == ["delta_0000"]
+
+    want = [(r["doc_id"], r["score_e6"]) for r in search(spark, full, SPEC).collect()]
+    got = [(r["doc_id"], r["score_e6"]) for r in search(spark, idx, SPEC).collect()]
+    assert got == want
+
+
+def test_stream_rerun_is_noop(spark, dirs):
+    land, idx, ckpt, _full, _ = dirs
+    before = list_deltas(idx)
+    _drain(spark, land, idx, ckpt)  # no new files → no new deltas
+    assert list_deltas(idx) == before
+    assert len(streaming._seen_batches(idx)) == 2
