@@ -47,17 +47,24 @@ HEADLINE = [
     "e1_engine_phrase",
     "e1_engine_filtered",
     "e1_engine_boost",
+    "e2_incremental_and",
     "f1_bm25_and",
     "t1_matchall",
     "g1_facet_role",
+    "g3_facet_all",
     "g6_histogram_month",
     "j6_tool_network",
     "g11_term_stats",
+    "a9_keyterms",
+    "p2_highlight",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "token_count",
     "quality_score",
+    "mm_decode_features",
 ]
 
 
@@ -76,19 +83,27 @@ def _run_suite(sf_dir: str) -> dict:
 
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = f"/tmp/newsleak_index_{tag}_{config_hash(entrymod._ENGINE_CFG.as_dict())}"
+    inc_dir = f"/tmp/newsleak_inc_{tag}_{config_hash(entrymod._ENGINE_CFG.as_dict())}"
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(inc_dir, ignore_errors=True)
     t0 = time.time()
     entrymod._engine_index(spark, sf_dir)
     build_sec = time.time() - t0
 
     stats = Manifest(idx_dir).stats
     n_docs = int(stats.get("n_docs", 0))
+    # pre-build the incremental (base+delta) index too, so the
+    # e2_incremental_and entry below times the QUERY, not the build
+    t0 = time.time()
+    entrymod._engine_incremental_index(spark, sf_dir)
+    inc_build_sec = time.time() - t0
     out["build"] = {
         "sec": round(build_sec, 3),
         "turns": n_docs,
         "turns_per_sec": round(n_docs / build_sec, 1) if build_sec else None,
         "postings": stats.get("n_postings"),
         "terms": stats.get("n_terms"),
+        "incremental_build_sec": round(inc_build_sec, 3),
     }
 
     qs = entrymod.queries()

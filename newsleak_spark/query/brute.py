@@ -32,7 +32,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from newsleak_spark.analysis import STANDARD_TOKEN_RE, analyze, tokens_col
+from newsleak_spark.analysis import STANDARD_TOKEN_RE, tokens_col
 from newsleak_spark.query.spec import QuerySpec
 from newsleak_spark.transcripts import transcripts_sql
 

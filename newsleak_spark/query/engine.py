@@ -206,7 +206,6 @@ def _make_shard_scorer(
     stays on — no untruncated candidate set ever leaves a shard.
     """
     required = [m for m in metas if m.required]
-    optional = [m for m in metas if not m.required]
     phrase_terms = {t for p in phrases for t in p}
     idf = {m.term: m.idf for m in metas}
     req_order = sorted(required, key=lambda m: (m.df, m.term))  # rarest first

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark.analysis import STANDARD_TOKEN_RE
-from newsleak_spark.transcripts import register_tables
 
 N_MINHASH = 12
 BAND_SIZE = 3
