@@ -282,6 +282,13 @@ def build_index(
             f"({man.config.get('_hash')} != {chash}); pass resume=False to rebuild"
         )
     man.set_config({**cfg.as_dict(), "_hash": chash})
+    if not resume:
+        # full rebuild = compaction: the new base supersedes every
+        # registered delta — clear the registration or the reader would
+        # union the compacted docs with their old delta copies
+        dj = os.path.join(index_dir, DELTAS_FILE)
+        if os.path.exists(dj):
+            os.remove(dj)
 
     tok_path = os.path.join(index_dir, "tokenized")
     meta_path = os.path.join(index_dir, "docmeta")
@@ -327,6 +334,17 @@ def build_index(
         )
     n_docs = float(man.stats["n_docs"])
     avgdl = float(man.stats["avgdl"])
+
+    if n_docs == 0:
+        # empty collection: a zero-row partitioned parquet write leaves
+        # no readable files, so commit the remaining stages as empty
+        # records instead of writing/rereading them (callers skip
+        # registering empty deltas; an empty BASE answers no queries)
+        for stage in ("postings", "dictionary", "segments"):
+            if not man.stage_done(stage, chash):
+                man.commit_stage(StageRecord(stage, 0, 0.0, 0, chash))
+        man.set_stats(n_postings=0, n_terms=0, n_hot_terms=0)
+        return man
 
     # ---- stage 3: postings checkpoint (computed once, reused twice) -------
     if not (resume and man.stage_done("postings", chash)):
@@ -447,6 +465,7 @@ def append_index(
     index_dir: str,
     cfg: IndexConfig | None = None,
     resume: bool = True,
+    delta_name: str | None = None,
 ) -> Manifest:
     """Incrementally index new turns WITHOUT rebuilding the base: a
     full mini-index (same 5 resumable stages) is built under
@@ -464,6 +483,10 @@ def append_index(
 
     Retry-safe: a killed append re-enters the same delta dir (its own
     manifest resumes unfinished stages) and registration is idempotent.
+    Callers with their own idempotency key (e.g. a streaming batch id)
+    pass ``delta_name`` — an already-registered name returns without
+    rebuilding. Empty inputs build but are NOT registered (an empty
+    part would add nothing and zero-stat parts complicate readers).
     """
     import json
 
@@ -476,14 +499,17 @@ def append_index(
             f"({base_man.config.get('_hash')} != {chash})"
         )
     existing = list_deltas(index_dir)
-    name = f"delta_{len(existing):04d}"
+    name = delta_name or f"delta_{len(existing):04d}"
+    if name in existing:
+        return Manifest(os.path.join(index_dir, name))  # already committed
     man = build_index(
         spark, new_transcripts, os.path.join(index_dir, name), cfg, resume=resume
     )
-    if name not in existing:
-        path = os.path.join(index_dir, DELTAS_FILE)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"deltas": existing + [name]}, f)
-        os.replace(tmp, path)  # commit-last
+    if int(man.stats.get("n_docs") or 0) == 0:
+        return man  # empty batch: nothing to register
+    path = os.path.join(index_dir, DELTAS_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"deltas": existing + [name]}, f)
+    os.replace(tmp, path)  # commit-last
     return man

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from newsleak_spark.codec import gather_ragged, varint_decode
+from newsleak_spark.codec import decode_positions_flat, gather_ragged, varint_decode
 from newsleak_spark.indexing.manifest import Manifest
 from newsleak_spark.query.spec import QuerySpec
 
@@ -66,7 +66,9 @@ class IndexReader:
         self.man = Manifest(index_dir)
         mans = [self.man] + [Manifest(p) for p in self.parts[1:]]
         for p, m in zip(self.parts, mans):
-            if not m.stats.get("n_docs"):
+            # n_docs == 0 is a legal (empty) part; only MISSING stats
+            # mean an unfinished build
+            if m.stats.get("n_docs") is None:
                 raise ValueError(f"no built index at {p}")
             if m.config.get("_hash") != self.man.config.get("_hash"):
                 raise ValueError(f"delta {p} was built with a different config")
@@ -161,18 +163,10 @@ def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
     order = np.argsort(docs, kind="stable")  # salted runs interleave
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     if want_positions:
-        counts = varint_decode(b"".join(rows["poscnt"])).astype(np.int64)
-        fdeltas = varint_decode(b"".join(rows["posflat"])).astype(np.int64)
-        if fdeltas.size:
-            pstarts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-            nz = counts > 0
-            fc = np.cumsum(fdeltas)
-            fbase = np.zeros(counts.shape, dtype=np.int64)
-            fbase[nz] = fc[pstarts[nz]] - fdeltas[pstarts[nz]]
-            flat = fc - np.repeat(fbase, counts)
-        else:
-            flat = fdeltas
-        pos = gather_ragged(counts, flat, order)
+        counts, flat = decode_positions_flat(
+            b"".join(rows["poscnt"]), b"".join(rows["posflat"])
+        )
+        pos = gather_ragged(counts, flat.astype(np.int64), order)
     else:
         pos = None
     return docs, tfs, dls, pos
@@ -256,8 +250,11 @@ def _make_shard_scorer(
                 return empty
 
         if truncate and out_docs.size > k:
-            # per-shard top-k heap: exact top-k with pinned tie-break
-            order = np.lexsort((out_docs, -out_scores))[:k]
+            # per-shard top-k: order by the ROUNDED score (score_e6) the
+            # global merge uses, so sub-1e-6 raw-float differences can't
+            # drop a doc that ties at e6 precision but wins the doc_id
+            # tie-break
+            order = np.lexsort((out_docs, -np.round(out_scores * 1e6)))[:k]
             out_docs, out_scores = out_docs[order], out_scores[order]
         return pd.DataFrame({"doc_id": out_docs.astype(np.int64), "score": out_scores})
 
@@ -322,14 +319,16 @@ def _make_shard_scorer(
 
     def _phrase_keys(pos_pair, off):
         """Ragged (counts, flat) positions → sorted unique int64 keys
-        (cand_idx << 21 | (pos - off + 1)); a key present for every
-        token offset of a phrase marks a phrase start."""
+        (cand_idx << 32 | (pos - off + 1)); a key present for every
+        token offset of a phrase marks a phrase start. 32-bit position
+        field: positions are stored int32, so no document length can
+        overflow into the candidate-index field."""
         counts, flat = pos_pair
         if flat.size == 0:
             return np.empty(0, dtype=np.int64)
         docidx = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
         shifted = flat.astype(np.int64) - off + 1  # +1 keeps pos=0,off=1 non-negative
-        keys = (docidx << 21) | shifted
+        keys = (docidx << 32) | shifted
         keys = keys[shifted >= 0]
         return np.unique(keys)
 
@@ -351,7 +350,7 @@ def _make_shard_scorer(
                     break
             pkeep = np.zeros(cand.size, dtype=bool)
             if inter is not None and inter.size:
-                pkeep[np.unique(inter >> 21)] = True
+                pkeep[np.unique(inter >> 32)] = True
             keep &= pkeep
         cand = cand[keep]
         per_term = {t: (v[0][keep], v[1][keep]) for t, v in per_term.items()}
@@ -382,40 +381,53 @@ def _make_shard_scorer(
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         term_rows = {m.term: by_term[m.term].sort_values("doc_first") for m in present}
         # decode once per term; chunk iteration below skips SCORING work
-        # for chunks whose block-max upper bound can't beat θ.
+        # for chunks whose block-max upper bound can't beat θ. Block
+        # metadata as numpy arrays: the per-chunk overlap test is array
+        # math, not a pandas frame filter.
         decoded = {m.term: _decode_term_blocks(term_rows[m.term], False)[:3] for m in present}
+        blockmeta = {}
+        for m in present:
+            r = term_rows[m.term]
+            if safe_bounds:
+                # stats-independent bound: stored max_score was computed
+                # under the part's OWN snapshot stats, invalid once
+                # deltas change N/avgdl/df. For any dl, avgdl > 0:
+                # tf_norm ≤ tf(k1+1)/(tf+k1(1-b)), monotone in tf →
+                # bound from stored max_tf.
+                mt = r["max_tf"].to_numpy(dtype=np.float64)
+                bnds = m.idf * mt * (K1 + 1.0) / (mt + K1 * (1.0 - B))
+            else:
+                bnds = r["max_score"].to_numpy(dtype=np.float64)
+            blockmeta[m.term] = (
+                r["doc_first"].to_numpy(dtype=np.int64),
+                r["doc_last"].to_numpy(dtype=np.int64),
+                bnds,
+            )
         bounds = np.unique(
             np.concatenate(
-                [r["doc_first"].to_numpy() for r in term_rows.values()]
-                + [r["doc_last"].to_numpy() + 1 for r in term_rows.values()]
+                [bm[0] for bm in blockmeta.values()]
+                + [bm[1] + 1 for bm in blockmeta.values()]
             )
         )
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
-        theta = -np.inf
+        theta_e6 = -np.inf  # θ in the rounded score_e6 domain the merge uses
         for ci in range(bounds.size - 1):
             lo, hi = int(bounds[ci]), int(bounds[ci + 1]) - 1
-            # upper bound for this chunk from per-block max_score metadata
+            # upper bound for this chunk from per-block metadata
             ub = 0.0
             active = []
             for m in present:
-                rows = term_rows[m.term]
-                sel = rows[(rows["doc_first"] <= hi) & (rows["doc_last"] >= lo)]
-                if not sel.empty:
-                    if safe_bounds:
-                        # stats-independent bound: stored max_score was
-                        # computed under the part's OWN snapshot stats,
-                        # invalid once deltas change N/avgdl/df. For any
-                        # dl, avgdl > 0: tf_norm ≤ tf(k1+1)/(tf+k1(1-b)),
-                        # monotone in tf → bound from stored max_tf.
-                        mt = float(sel["max_tf"].max())
-                        ub += m.idf * mt * (K1 + 1.0) / (mt + K1 * (1.0 - B))
-                    else:
-                        ub += float(sel["max_score"].max())
+                firsts, lasts, bnds = blockmeta[m.term]
+                sel = (firsts <= hi) & (lasts >= lo)
+                if sel.any():
+                    ub += float(bnds[sel].max())
                     active.append(m)
-            # strict < θ: an exact-θ score could still win the doc_id
-            # tie-break, so equality must be scored, not skipped
-            if not active or (truncate and top_docs.size >= k and ub < theta):
+            # skip only when every chunk score must round BELOW θ_e6 —
+            # an e6-tied score could still win the doc_id tie-break
+            if not active or (
+                truncate and top_docs.size >= k and ub * 1e6 < theta_e6 - 0.5
+            ):
                 continue  # BMW skip
             docs_all, contrib_all = [], []
             for m in active:
@@ -440,9 +452,9 @@ def _make_shard_scorer(
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
             if truncate and top_docs.size > k:
-                order = np.lexsort((top_docs, -top_scores))[:k]
+                order = np.lexsort((top_docs, -np.round(top_scores * 1e6)))[:k]
                 top_docs, top_scores = top_docs[order], top_scores[order]
-                theta = float(top_scores.min())
+                theta_e6 = float(np.round(top_scores * 1e6).min())
         return top_docs, top_scores
 
     return score_shard
@@ -494,6 +506,12 @@ def search(
         )
         return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
+    if spec.phrases and not rd.man.config.get("with_positions", True):
+        raise ValueError(
+            f"index at {index_dir} was built with with_positions=False; "
+            "phrase queries need a positions-bearing index"
+        )
+
     required = list(spec.all_scored_terms())
     boost = [t for t in spec.boost_terms if t not in required]
     all_terms = required + boost
@@ -537,12 +555,9 @@ def search(
 
 
 def _apply_meta_filters(meta: DataFrame, spec: QuerySpec) -> DataFrame:
-    if spec.role_filter:
-        meta = meta.filter(F.col("role").isin(list(spec.role_filter)))
-    if spec.tool_filter:
-        meta = meta.filter(F.col("tool").isin(list(spec.tool_filter)))
-    if spec.ts_from:
-        meta = meta.filter(F.col("ts").cast("date") >= F.lit(str(spec.ts_from)))
-    if spec.ts_to:
-        meta = meta.filter(F.col("ts").cast("date") <= F.lit(str(spec.ts_to)))
-    return meta
+    # single source of truth for F2/F5 semantics: the brute path's
+    # filter (the engine's rank-identity oracle) — divergence here would
+    # silently break filtered-query parity
+    from newsleak_spark.query.brute import _apply_filters
+
+    return _apply_filters(meta, spec)

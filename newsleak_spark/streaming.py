@@ -78,12 +78,22 @@ def ingest_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if str(batch_id) in _seen_batches(index_dir):
-            return  # replay after restart: delta already committed
-        from newsleak_spark.indexing.build import list_deltas
+            return  # replay after restart: batch fully committed
+        from newsleak_spark.indexing.manifest import Manifest
 
-        if os.path.exists(os.path.join(index_dir, "manifest.json")):
-            append_index(spark, batch_df, index_dir, cfg, resume=True)
-            delta = list_deltas(index_dir)[-1]
+        # base is "done" only when its LAST stage committed — a crash
+        # mid-base-build leaves manifest.json behind, and routing that
+        # replay to append_index would orphan the base forever
+        base_done = "segments" in Manifest(index_dir).data.get("stages", {})
+        if base_done:
+            # batch-id-keyed delta name: if the delta registered but the
+            # ledger write below was lost to a crash, the replay finds
+            # the name already registered and does NOT re-index the rows
+            append_index(
+                spark, batch_df, index_dir, cfg, resume=True,
+                delta_name=f"delta_b{batch_id:08d}",
+            )
+            delta = f"delta_b{batch_id:08d}"
         else:
             build_index(spark, batch_df, index_dir, cfg, resume=True)
             delta = "base"

@@ -58,3 +58,48 @@ def test_delta_results_rank_identical(spark, dirs, i):
 def test_append_registration_idempotent(spark, dirs):
     _, inc_dir = dirs
     assert list_deltas(inc_dir) == ["delta_0000"]
+
+
+def test_empty_delta_not_registered(spark, transcripts, tmp_path):
+    d = str(tmp_path / "idx_empty")
+    build_index(spark, transcripts, d, CFG, resume=False)
+    empty = transcripts.filter(F.col("doc_id") < 0)
+    append_index(spark, empty, d, CFG)
+    assert list_deltas(d) == []  # zero-row batch registers nothing
+    spec = QuerySpec(terms=("spark",), k=5)
+    assert search(spark, d, spec).count() == 5  # reader unaffected
+
+
+def test_compaction_clears_delta_registration(spark, transcripts, tmp_path):
+    d = str(tmp_path / "idx_compact")
+    build_index(spark, transcripts.filter(F.col("doc_id") % 2 == 0), d, CFG, resume=False)
+    append_index(spark, transcripts.filter(F.col("doc_id") % 2 == 1), d, CFG)
+    assert list_deltas(d) == ["delta_0000"]
+    # compaction = full rebuild over the whole collection
+    build_index(spark, transcripts, d, CFG, resume=False)
+    assert list_deltas(d) == []  # old deltas no longer unioned in
+    spec = QuerySpec(terms=("merge", "window"), k=15)
+    want = {r["doc_id"] for r in search(spark, d, spec).collect()}
+    assert len(want) == 15  # no duplicate doc_ids from stale deltas
+
+
+def test_named_delta_registration_is_idempotent(spark, transcripts, tmp_path):
+    d = str(tmp_path / "idx_named")
+    build_index(spark, transcripts.filter(F.col("doc_id") % 2 == 0), d, CFG, resume=False)
+    half = transcripts.filter(F.col("doc_id") % 2 == 1)
+    append_index(spark, half, d, CFG, delta_name="delta_b00000001")
+    n1 = search(spark, d, QuerySpec(terms=("spark",), k=5)).count()
+    # replay (crash between registration and any caller-side ledger):
+    # same name -> returns without re-indexing or double-registering
+    append_index(spark, half, d, CFG, delta_name="delta_b00000001")
+    assert list_deltas(d) == ["delta_b00000001"]
+    assert search(spark, d, QuerySpec(terms=("spark",), k=5)).count() == n1
+
+
+def test_phrase_query_rejected_without_positions(spark, transcripts, tmp_path):
+    from dataclasses import replace
+
+    d = str(tmp_path / "idx_nopos")
+    build_index(spark, transcripts, d, replace(CFG, with_positions=False), resume=False)
+    with pytest.raises(ValueError, match="with_positions"):
+        search(spark, d, QuerySpec(phrases=(("fast", "table"),), k=5))

@@ -44,7 +44,7 @@ def test_stream_ingest_two_drops_then_parity(spark, transcripts, dirs):
     # drop 2 → delta append
     transcripts.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(land)
     _drain(spark, land, idx, ckpt)
-    assert list_deltas(idx) == ["delta_0000"]
+    assert list_deltas(idx) == ["delta_b00000001"]
 
     want = [(r["doc_id"], r["score_e6"]) for r in search(spark, full, SPEC).collect()]
     got = [(r["doc_id"], r["score_e6"]) for r in search(spark, idx, SPEC).collect()]
