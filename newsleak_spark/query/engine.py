@@ -7,9 +7,9 @@ Execution shape (SURVEY §3.1 "Rebuild shape"):
   pruning on bucket + row-group stats pruning on the term-sorted rows —
   → per-shard scoring in applyInPandas over Arrow batches (numpy
   decode, block-range intersection for AND, block-max WAND for the
-  scored-union path) → per-shard top-k heaps → global
-  TakeOrderedAndProject merge → optional docmeta join for F2/F5
-  filters.
+  scored-union path; F2/F5 filters arrive shard-locally via cogroup
+  with the filtered docmeta) → per-shard top-k heaps → global
+  TakeOrderedAndProject merge.
 
 Correctness contract: rank-identical (doc_id, score_e6) vs
 query/brute.py (and hence vs the DuckDB oracle) — enforced by
@@ -412,8 +412,15 @@ def _make_shard_scorer(
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         theta_e6 = -np.inf  # θ in the rounded score_e6 domain the merge uses
-        for ci in range(bounds.size - 1):
-            lo, hi = int(bounds[ci]), int(bounds[ci + 1]) - 1
+        # batch boundary intervals into ~256 groups: skipping power is
+        # slightly coarser (group-max bound instead of block-max) but
+        # the Python-level loop shrinks from O(blocks) to ~256 rounds;
+        # scoring inside a surviving group is exact either way
+        n_iv = bounds.size - 1
+        group = max(1, n_iv // 256)
+        for ci in range(0, n_iv, group):
+            lo = int(bounds[ci])
+            hi = int(bounds[min(ci + group, n_iv)]) - 1
             # upper bound for this chunk from per-block metadata
             ub = 0.0
             active = []
