@@ -104,6 +104,10 @@ def _run_suite(sf_dir: str) -> dict:
         "postings": stats.get("n_postings"),
         "terms": stats.get("n_terms"),
         "incremental_build_sec": round(inc_build_sec, 3),
+        "stage_sec": {
+            name: round(rec.get("wall_sec", 0.0), 3)
+            for name, rec in Manifest(idx_dir).stages.items()
+        },
     }
 
     qs = entrymod.queries()

@@ -16,6 +16,7 @@ built from the same shared transcripts derivation:
   J3  duplicates double self-join    EntityService.scala:404-416
   J4  hits ⋈ metadata enrichment     DocumentController.scala:318-343
   A9  keyterm extraction (LL keyness) KeytermExtractor.java:77-130
+  A10 regex/dictionary extraction    DictionaryExtractor.java:41-54,111-143,184-230
 
 Side tables (tags/labels/duplicates) don't exist in the transcript
 payload, so they are DERIVED deterministically from the transcripts
@@ -353,6 +354,102 @@ def a9_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A10 regex/dictionary extraction
+# ---------------------------------------------------------------------------
+
+# Typed extraction regexes (DictionaryExtractor.java:41-54 defines EMAIL/
+# URL/IP/PHONE patterns). Kept to syntax shared by Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backrefs — parity by construction.
+A10_PATTERNS = (
+    ("EMAIL", r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}"),
+    ("URL", r"https?://[a-z0-9./_\-]+"),
+    ("IP", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    ("PHONE", r"\+[0-9][0-9 \-]{7,}[0-9]"),
+)
+# Unigram dictionaries: analyzed-token equality (DictionaryExtractor.java:
+# 111-143 matches stemmed-lowercase unigrams; oracle-parity mode uses the
+# standard analyzer, same as every other shared-SQL op).
+A10_UNIGRAMS = (
+    ("spark", "TECH"),
+    ("merge", "SQLOP"),
+    ("window", "SQLOP"),
+    ("stream", "SQLOP"),
+)
+# Multi-word-unit dict entry matched on token adjacency
+# (DictionaryExtractor.java:184-230): non-overlapping occurrences over
+# the space-joined token stream (identical scan semantics both engines).
+A10_MWU = ("fast", "table")
+A10_DOC_LIMIT = 300
+
+
+def a10_dict_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: typed regex + dictionary extraction over doc_id < 300,
+    one scan — per-type extraction arrays are struct-tagged, concatenated
+    and exploded in a single pass, then counted per (doc, type, value)."""
+    t = load_transcripts(spark, sf_dir).filter(F.col("doc_id") < A10_DOC_LIMIT)
+    base = t.select("doc_id", F.lower("text").alias("lt"))
+
+    mwu_needle = " " + " ".join(A10_MWU) + " "
+    joined = F.concat(
+        F.lit(" "), F.array_join(F.regexp_extract_all("lt", F.lit(STANDARD_TOKEN_RE), 0), " "), F.lit(" ")
+    )
+
+    def tag(typ: str, arr: F.Column) -> F.Column:
+        return F.transform(
+            arr, lambda v: F.struct(F.lit(typ).alias("ext_type"), v.alias("value"))
+        )
+
+    parts = [
+        tag(typ, F.regexp_extract_all("lt", F.lit(pat), 0)) for typ, pat in A10_PATTERNS
+    ]
+    parts.append(
+        tag(
+            "MWU",
+            F.transform(
+                F.regexp_extract_all(joined, F.lit(mwu_needle), 0), lambda v: F.trim(v)
+            ),
+        )
+    )
+    ex = base.select("doc_id", F.explode(F.concat(*parts)).alias("e")).select(
+        "doc_id", "e.ext_type", "e.value"
+    )
+    toks = base.select(
+        "doc_id", F.explode(F.regexp_extract_all("lt", F.lit(STANDARD_TOKEN_RE), 0)).alias("value")
+    )
+    dic = spark.createDataFrame(list(A10_UNIGRAMS), "value string, ext_type string")
+    dict_hits = toks.join(F.broadcast(dic), "value").select("doc_id", "ext_type", "value")
+    return (
+        ex.unionByName(dict_hits)
+        .groupBy("doc_id", "ext_type", "value")
+        .agg(F.count("*").alias("n"))
+        .orderBy("doc_id", "ext_type", "value")
+    )
+
+
+def _a10_oracle() -> str:
+    toks_lt = "regexp_extract_all(lt, '" + STANDARD_TOKEN_RE + "')"
+    mwu_needle = " " + " ".join(A10_MWU) + " "
+    regex_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, '{typ}' AS ext_type, unnest(regexp_extract_all(lt, '{pat}')) AS value FROM base"
+        for typ, pat in A10_PATTERNS
+    )
+    dic_vals = ", ".join(f"('{v}', '{c}')" for v, c in A10_UNIGRAMS)
+    return (
+        _PRELUDE
+        + f"base AS (SELECT doc_id, lower(text) AS lt FROM transcripts WHERE doc_id < {A10_DOC_LIMIT}),\n"
+        + "ex AS (\n  " + regex_selects + "\n"
+        + f"  UNION ALL SELECT doc_id, 'MWU', trim(unnest(regexp_extract_all(\n"
+        + f"    ' ' || array_to_string({toks_lt}, ' ') || ' ', '{mwu_needle}'))) FROM base\n"
+        + f"  UNION ALL SELECT doc_id, d.ext_type, t.value\n"
+        + f"    FROM (SELECT doc_id, unnest({toks_lt}) AS value FROM base) t\n"
+        + f"    JOIN (VALUES {dic_vals}) AS d(value, ext_type) USING (value)\n"
+        + ")\n"
+        + "SELECT doc_id, ext_type, value, COUNT(*) AS n FROM ex\n"
+        + "GROUP BY doc_id, ext_type, value ORDER BY doc_id, ext_type, value"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -372,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_edge_keyterms": j6_edge_keyterms,
         "p2_highlight": p2_highlight,
         "a9_keyterms": a9_keyterms,
+        "a10_dict_extract": a10_dict_extract,
     }
 
 
@@ -500,4 +598,5 @@ def oracle_sql() -> dict[str, str]:
         + f"       CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {A9_TOP_N}\n"
         + "ORDER BY doc_id, rank"
     )
+    o["a10_dict_extract"] = _a10_oracle()
     return o

@@ -92,6 +92,10 @@ class Manifest:
     def config(self) -> dict[str, Any]:
         return self.data["config"]
 
+    @property
+    def stages(self) -> dict[str, Any]:
+        return self.data["stages"]
+
     def _flush(self) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
         tmp = self.path + f".tmp.{os.getpid()}.{int(time.time() * 1e6)}"

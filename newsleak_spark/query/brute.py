@@ -77,8 +77,12 @@ def _phrase_predicate(toks_joined, phrase: tuple[str, ...]):
 
 def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -> DataFrame:
     """Top-k BM25 over a transcripts DataFrame. Plain Catalyst plan:
-    tokenize → explode → two hash-aggs (postings, dl) → broadcast joins
-    of query terms / stats → final TakeOrderedAndProject."""
+    tokenize → explode → filter to the query's terms BEFORE any
+    aggregation (so every shuffle is O(matching postings), never
+    O(collection token stream)) → per-(doc,term) hash-agg carrying dl →
+    broadcast df/stats joins → final TakeOrderedAndProject. Collection
+    stats (N, avgdl) ride as a broadcast single-row crossJoin so the
+    whole query stays one lazy plan (no driver-side stats job)."""
     spark = transcripts.sparkSession
     required = _sanitize(spec.all_scored_terms())
     boost = [t for t in _sanitize(spec.boost_terms) if t not in required]
@@ -94,12 +98,18 @@ def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -
         )
         return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
-    ex = base.select("doc_id", F.explode("toks").alias("term"))
-    postings = ex.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dl = base.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.size("toks")).cast("double").alias("sum_dl"),
     ).select("n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"))
+
+    all_terms = required + boost
+    ex = base.select(
+        "doc_id", F.size("toks").cast("double").alias("dl"), F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(all_terms))
+    postings = ex.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
 
     qdf = spark.createDataFrame(
         [(t, 1) for t in required] + [(t, 0) for t in boost], "term string, required int"
@@ -108,8 +118,7 @@ def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -
 
     cand = (
         postings.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qdf), "term").select("term", "df")), "term")
-        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
     scored = cand.withColumn(

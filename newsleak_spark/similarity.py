@@ -2,9 +2,9 @@
 
 Two paths:
   * ``ann_cosine_topk`` — exact brute-force cosine top-k, the baseline.
-    Dot/norm computed by exploding (vec_id, i, e) and hash-aggregating —
-    pure JVM arithmetic, and bit-for-bit reproducible in the DuckDB
-    oracle (generate_subscripts + the same double math).
+    Dot/norm fold in array form inside whole-stage codegen
+    (zip_with + aggregate over array<double>) — pure JVM arithmetic,
+    reproduced by the DuckDB oracle's positional-join double math.
   * ``ann_lsh_buckets`` / ``ann_lsh_topk`` — the 100TB scale path:
     seed-pinned random-hyperplane LSH (vectorized numpy over Arrow
     batches) buckets vectors; candidates come from ONE equi-join on
@@ -40,35 +40,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _flat(e: DataFrame) -> DataFrame:
-    """(vec_id, i, e) exploded doubles."""
-    return e.select(
-        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "e")
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with(cast({a} as array<double>), cast({b} as array<double>), "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform(cast({a} as array<double>), x -> x * x), 0D, (acc, x) -> acc + x)"
+        )
     )
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for query vectors (vec_id < N_QUERIES) against
-    the full table (self excluded). Tie-break (sim desc, neighbor asc)."""
+    the full table (self excluded). Tie-break (sim desc, neighbor asc).
+
+    Array-form brute force: the Q query vectors broadcast against the
+    table and each pair's dot/norms fold inside whole-stage codegen
+    (zip_with + aggregate) — one narrow stage over N rows, no ×dim row
+    explosion, no position-keyed shuffle."""
     e = _emb(spark, sf_dir)
-    flat = _flat(e)
-    q = flat.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), "i", F.col("e").alias("qe")
-    )
-    dots = (
-        flat.join(F.broadcast(q), "i")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
-    )
-    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
-    qn = norms.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
     sims = (
-        dots.join(norms, "vec_id")
-        .join(F.broadcast(qn), "qid")
-        .withColumn("sim", F.col("dot") / (F.col("nrm") * F.col("qnrm")))
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "sim", _dot("embedding", "qemb") / (_norm("embedding") * _norm("qemb"))
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -172,14 +176,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
         .distinct()
     )
     sim = cand.withColumn(
-        "sim",
-        F.expr(
-            "aggregate(zip_with(cast(embedding as array<double>), cast(qemb as array<double>), (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        )
-        / (
-            F.sqrt(F.expr("aggregate(transform(cast(embedding as array<double>), x -> x * x), 0D, (a, x) -> a + x)"))
-            * F.sqrt(F.expr("aggregate(transform(cast(qemb as array<double>), x -> x * x), 0D, (a, x) -> a + x)"))
-        ),
+        "sim", _dot("embedding", "qemb") / (_norm("embedding") * _norm("qemb"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -209,22 +206,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_lsh_topk is the same plan's scale path — candidates from one
     equi-join instead of the cross product)."""
     e = _emb(spark, sf_dir).filter(F.col("vec_id") < NEARDUP_SCOPE)
-    flat = _flat(e)
-    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
-    a = flat.select(F.col("vec_id").alias("va"), "i", F.col("e").alias("ea"))
-    b = flat.select(F.col("vec_id").alias("vb"), "i", F.col("e").alias("eb"))
-    dots = (
-        a.join(b, "i")
-        .filter(F.col("va") < F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
-    )
-    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     return (
-        dots.join(F.broadcast(na), "va")
-        .join(F.broadcast(nb), "vb")
-        .withColumn("sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .withColumn("sim", _dot("ea", "eb") / (_norm("ea") * _norm("eb")))
         .filter(F.col("sim") >= NEARDUP_THRESHOLD)
         .select(
             F.col("va").alias("doc_a"),

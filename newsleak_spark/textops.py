@@ -130,22 +130,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
     sh = _shingles(d)
-    hashes = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("i"))
-    sig = (
-        sh.crossJoin(F.broadcast(hashes))
-        .select("doc_id", "i", F.md5(F.concat_ws("#", "sh", "i")).alias("h"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    # whole signature in ONE groupBy(doc_id): per-row array of the
+    # N_MINHASH salted hashes, element-wise MIN via N wide agg exprs —
+    # no row expansion, no (doc, i)-keyed shuffle of |shingles|·N rows
+    hs = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat_ws("#", "sh", F.lit(str(i)))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ],
     )
-    bands = (
-        sig.withColumn("band", F.floor(F.col("i") / BAND_SIZE))
-        .groupBy("doc_id", "band")
-        .agg(
+    sig = hs.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
+    n_bands = N_MINHASH // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("band"),
             F.md5(
-                F.expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '|')")
-            ).alias("band_key")
+                F.concat_ws(
+                    "|", *[f"mh{i}" for i in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)]
+                )
+            ).alias("band_key"),
         )
-    )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -168,31 +180,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
     tf = d.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    bits = spark.range(16).select(F.col("id").cast("int").alias("b"))
-    contrib = (
-        tf.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "nib",
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.md5("term"), F.floor(F.col("b") / 4).cast("int") + 1, 1),
-            )
-            - 1,
-        )
-        .withColumn(
-            "bit",
-            (F.floor(F.col("nib") / F.pow(F.lit(2.0), 3 - F.col("b") % 4)) % 2).cast("int"),
-        )
-        .withColumn("c", F.col("tf") * (2 * F.col("bit") - 1))
+    # one md5 per posting row and 16 wide agg exprs — no ×16 row
+    # expansion, no (doc, bit)-keyed shuffle; signs derived from the
+    # hash nibbles inline (hex digit (1 + b/4), bit (3 - b%4))
+    nib = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("term"), q + 1, 1)) - 1
+        for q in range(4)
+    ]
+    signed = tf.select(
+        "doc_id",
+        *[
+            (
+                F.col("tf")
+                * (2 * (F.floor(nib[b // 4] / F.lit(2 ** (3 - b % 4))) % 2).cast("int") - 1)
+            ).alias(f"c{b}")
+            for b in range(16)
+        ],
     )
-    return (
-        contrib.groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
-        .withColumn("bitval", F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b"))).otherwise(F.lit(0.0)))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash16"))
-        .orderBy("doc_id")
+    sums = signed.groupBy("doc_id").agg(
+        *[F.sum(f"c{b}").alias(f"s{b}") for b in range(16)]
     )
+    simhash = sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"s{b}") > 0, F.lit(float(2**b))).otherwise(F.lit(0.0)) for b in range(16)],
+            F.lit(0.0),
+        )
+        .cast("long")
+        .alias("simhash16"),
+    )
+    return simhash.orderBy("doc_id")
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

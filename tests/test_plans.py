@@ -1,0 +1,122 @@
+"""Physical-plan audits: the scale properties SURVEY §4.2 claims are
+asserted on the actual Catalyst plans, so a refactor that silently
+de-optimizes a path (drops partition pruning, introduces a sort-merge
+join where a broadcast was intended, widens a scan) fails tests.
+
+These mirror the task's ".explain until it's the plan you'd want"
+discipline as executable invariants.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from newsleak_spark.indexing import IndexConfig, build_index
+from newsleak_spark.query import QuerySpec, bm25_topk
+from newsleak_spark.query.engine import IndexReader, search
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planidx"))
+    cfg = IndexConfig(n_shards=4, n_term_buckets=8, block_size=32)
+    build_index(spark, transcripts, d, cfg)
+    return d
+
+
+def test_segment_scan_partition_pruned(spark, index_dir):
+    """A query's segment scan must touch only the buckets of its query
+    terms (hive partition pruning) and push the term predicate to
+    parquet row groups (the term-sorted layout makes min/max effective)."""
+    rd = IndexReader(spark, index_dir)
+    seg = rd.segments_for(["spark"], with_positions=False)
+    plan = plan_of(seg)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "term" in pushed, plan
+
+
+def test_segment_scan_drops_position_columns(spark, index_dir):
+    """Term-only queries must not read position bytes (SURVEY §7.5.5)."""
+    rd = IndexReader(spark, index_dir)
+    plan = plan_of(rd.segments_for(["spark"], with_positions=False))
+    schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "posflat" not in schema and "poscnt" not in schema
+
+
+def test_search_plan_shape(spark, index_dir):
+    """Engine search = one scoring exchange (shard-keyed applyInPandas)
+    + the global top-k merge; no sort-merge join anywhere."""
+    plan = plan_of(search(spark, index_dir, QuerySpec(terms=("spark",), k=10)))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # one exchange for the shard cogroup/groupBy; AQE may add none other
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_brute_bm25_plan_broadcast_only(spark, transcripts):
+    """The brute DataFrame path must broadcast its tiny dims (query
+    terms, df) — a sort-merge join here would shuffle the postings side
+    twice at scale."""
+    plan = plan_of(bm25_topk(transcripts, QuerySpec(terms=("merge", "window"), k=10)))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_facet_scan_prunes_text_column(spark):
+    """G1 facet over `role` must not read the (wide) text column — if
+    column pruning regresses, every facet pays the fulltext IO.
+    (sf0.01 on purpose: the conftest caches the sf0.001 transcripts
+    plan, and a cache hit would swap the parquet scan for an
+    InMemoryTableScan of all columns.)"""
+    from newsleak_spark import facets
+    from newsleak_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.01")
+    plan = plan_of(facets.facet_counts(t, "role", k=10))
+    schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "text" not in schema, schema
+
+
+def test_facet_partial_aggregation(spark):
+    """G1 must map-side combine (partial_count before the exchange)."""
+    from newsleak_spark import facets
+    from newsleak_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.01")
+    plan = plan_of(facets.facet_counts(t, "role", k=10), "simple")
+    assert "partial_count" in plan, plan
+
+
+def test_dedup_plans_no_cartesian(spark):
+    """The dedup/minhash rewrites must stay free of row-explosion joins:
+    no CartesianProduct, and simhash needs no join at all."""
+    from newsleak_spark import textops
+
+    sim = textops.dedup_simhash(spark, "/root/testdata/sf0.001")
+    plan = plan_of(sim)
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    mh = textops.dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+    plan = plan_of(mh)
+    assert "CartesianProduct" not in plan
+
+
+def test_filtered_search_docmeta_pushdown(spark, index_dir):
+    """F2 filters reach the docmeta parquet scan as pushed predicates
+    (shard-local cogroup path)."""
+    spec = QuerySpec(terms=("spark",), role_filter=("user",), k=10)
+    plan = plan_of(search(spark, index_dir, spec))
+    assert "PushedFilters" in plan
+    # role IN (...) must appear in some scan's pushed filters
+    assert any(
+        "role" in seg.split("]", 1)[0] for seg in plan.split("PushedFilters")[1:]
+    ), plan
