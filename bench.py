@@ -56,6 +56,9 @@ HEADLINE = [
     "j6_tool_network",
     "g11_term_stats",
     "a9_keyterms",
+    "a10_dict_extract",
+    "f3_entity_filter",
+    "f4_keyword_filter",
     "p2_highlight",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -4,6 +4,8 @@ Each op re-expresses a reference behavior (citations into
 /root/reference/) over the transcript payload, with a DuckDB oracle
 built from the same shared transcripts derivation:
 
+  F3  entity-id conjunction filter   ESRequestUtils.scala:339-343
+  F4  keyword conjunction filter     ESRequestUtils.scala:345-349
   F9  doc-id + multi-field filter    ESRequestUtils.scala:110-128
   F10 match query (single field)     ESRequestUtils.scala:90-108
   F11 blacklist + merge post-filters EntityService.scala:274-305,351-373
@@ -66,6 +68,47 @@ def f9_docs_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("tool").isin(["tool_3"])
     )
     return t.filter(F.col("doc_id").isin(ids)).filter(pred).select("doc_id").orderBy("doc_id")
+
+
+_F3_ENTITIES = ("tool_1", "tool_2")  # doc must carry ALL (bool AND of term filters)
+_F4_KEYWORDS = ("merge", "window")
+
+
+def f3_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: entity-id conjunction (ESRequestUtils.scala:339-343 — one
+    term filter per id, ANDed: the doc must contain ALL of them). The
+    transcript analog of a doc's entity set is its conversation's tool
+    set; array_contains conjunction over the per-conv collected array."""
+    t = load_transcripts(spark, sf_dir)
+    ents = (
+        t.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.collect_set("tool").alias("ents"))
+    )
+    pred = None
+    for e in _F3_ENTITIES:
+        c = F.array_contains("ents", e)
+        pred = c if pred is None else (pred & c)
+    return (
+        t.join(ents, "conv_id")
+        .filter(pred)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def f4_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: keyword-term conjunction (ESRequestUtils.scala:345-349) —
+    unscored membership filter (unlike F1, which scores): the doc's
+    analyzed token array must contain every keyword."""
+    t = load_transcripts(spark, sf_dir)
+    pred = None
+    for kw in _F4_KEYWORDS:
+        c = F.array_contains(_toks(), kw)
+        pred = c if pred is None else (pred & c)
+    return t.filter(pred).select("doc_id").orderBy("doc_id")
 
 
 def f10_match_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,6 +498,8 @@ def _a10_oracle() -> str:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "f3_entity_filter": f3_entity_filter,
+        "f4_keyword_filter": f4_keyword_filter,
         "f9_docs_multifield": f9_docs_multifield,
         "f10_match_tool": f10_match_tool,
         "f11_blacklist_merge_facet": f11_blacklist_merge_facet,
@@ -475,6 +520,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
+    ent_conds = "\n  AND ".join(
+        f"conv_id IN (SELECT conv_id FROM tl WHERE tool = '{e}')" for e in _F3_ENTITIES
+    )
+    o["f3_entity_filter"] = (
+        _PRELUDE
+        + "tl AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)\n"
+        + f"SELECT doc_id FROM transcripts\nWHERE {ent_conds}\nORDER BY doc_id"
+    )
+    kw_conds = " AND ".join(
+        f"list_contains({_TOKS_SQL}, '{kw}')" for kw in _F4_KEYWORDS
+    )
+    o["f4_keyword_filter"] = (
+        _PRELUDE.rstrip(",\n")
+        + f"\nSELECT doc_id FROM transcripts WHERE {kw_conds} ORDER BY doc_id"
+    )
     ids = ", ".join(str(i) for i in range(0, 200, 3))
     o["f9_docs_multifield"] = (
         _PRELUDE

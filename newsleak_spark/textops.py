@@ -55,21 +55,23 @@ def _toks(text=None) -> F.Column:
 _TOKS_SQL = f"regexp_extract_all(lower(text), '{STANDARD_TOKEN_RE}')"
 
 
+def _shingle_arr(n: int = 3) -> F.Column:
+    """array<string> of DISTINCT n-gram shingles of the ``toks`` column.
+
+    Distinctness is per-document, so array_distinct inside the row does
+    it — no global distinct() shuffle (the naive explode→distinct plan
+    shuffles the entire shingle stream for keys that are already
+    row-local)."""
+    return F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN array_distinct("
+        f"transform(sequence(0, size(toks) - {n}), i -> array_join(slice(toks, i + 1, {n}), ' '))) "
+        "ELSE array() END"
+    )
+
+
 def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, sh) distinct n-gram shingles of the normalized tokens."""
-    return (
-        df.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(toks) >= {n} THEN "
-                    f"transform(sequence(0, size(toks) - {n}), i -> array_join(slice(toks, i + 1, {n}), ' ')) "
-                    "ELSE array() END"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    return df.select("doc_id", F.explode(_shingle_arr(n)).alias("sh"))
 
 
 _SHINGLES_SQL = f"""
@@ -130,9 +132,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
     sh = _shingles(d)
-    # whole signature in ONE groupBy(doc_id): per-row array of the
-    # N_MINHASH salted hashes, element-wise MIN via N wide agg exprs —
-    # no row expansion, no (doc, i)-keyed shuffle of |shingles|·N rows
+    # whole signature in ONE groupBy(doc_id): per-shingle row of the
+    # N_MINHASH salted hashes, element-wise MIN via N wide agg exprs
+    # with map-side partial aggregation — the shuffle carries one
+    # 12-wide row per doc, not |shingles|·N expanded rows. (A fully
+    # map-side array_min(transform(shs, ...)) form is SLOWER: projection
+    # collapse inlines the shingle-array build into every signature
+    # column, and lambda expressions are excluded from common-
+    # subexpression elimination, so it recomputes the shingling N times.)
     hs = sh.select(
         "doc_id",
         *[
