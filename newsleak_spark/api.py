@@ -1,0 +1,207 @@
+"""Serving-layer API — the controller surface of the reference.
+
+Maps newsleak's three user-facing entry points (plus the facet
+endpoint) 1:1 onto the engine, so a user of the reference's HTTP API
+finds the same request/response shapes here (citations into
+/root/reference/):
+
+  get_docs         GET /getDocs    DocumentController.scala:276-346
+                   (ranked top-k + pagination + whole-doc highlighting
+                   + metadata enrichment in one Spark plan)
+  induce_subgraph  GET /induceSubgraph  NetworkController →
+                   NetworkService.scala:136-175 — node facet + ALL
+                   edges in one self-join job instead of O(n²)
+                   sequential per-pair requests
+  get_timeline     GET /getTimeline  HistogramController.scala:49-66,
+                   TimelineService.scala:91-151 (LoD buckets, dense)
+  aggregate        GET /getAggregate  MetadataController/
+                   AggregateService.scala:195-226 (terms facet with
+                   include/exclude + zero-fill)
+
+Request parsing reuses the F8 grammars (query_string with quoted
+phrases, 4-regex time ranges); the doc-set filter for aggregation
+endpoints is query/brute.matching_docs — the same bool-query semantics
+the reference applies to every aggregation request. Results are plain
+Python dicts (the JSON the controllers emit); every .collect() here is
+bounded by page/facet size, never by collection size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newsleak_spark import facets as facets_mod
+from newsleak_spark.analysis import analyze
+from newsleak_spark.query.brute import bm25_topk, matching_docs
+from newsleak_spark.query.engine import search
+from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
+
+DEFAULT_PAGE_SIZE = 50  # DocumentController.scala:47
+
+
+def compile_spec(
+    query: str = "",
+    time_range: str | None = None,
+    roles: tuple[str, ...] = (),
+    tools: tuple[str, ...] = (),
+    k: int = DEFAULT_PAGE_SIZE,
+    mode: str = "standard",
+) -> QuerySpec:
+    """Request params → QuerySpec (the Facets binder analog)."""
+    terms, phrases = parse_query_string(query, analyzer=lambda s: analyze(s, mode))
+    ts_from = ts_to = None
+    if time_range:
+        ts_from, ts_to = parse_time_range(time_range)
+    return QuerySpec(
+        terms=terms, phrases=phrases, role_filter=tuple(roles),
+        tool_filter=tuple(tools), ts_from=ts_from, ts_to=ts_to, k=k,
+    )
+
+
+class NewsleakAPI:
+    """One handle = one collection: the transcripts table plus (when
+    built) its segment index. ``index_dir=None`` degrades every ranked
+    query to the brute DataFrame path (same results, no index)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        index_dir: str | None = None,
+        mode: str = "standard",
+    ):
+        self.spark = spark
+        self.transcripts = transcripts
+        self.index_dir = index_dir
+        self.mode = mode
+
+    # -- GET /getDocs -----------------------------------------------------
+
+    def get_docs(
+        self,
+        query: str = "",
+        time_range: str | None = None,
+        roles: tuple[str, ...] = (),
+        tools: tuple[str, ...] = (),
+        page: int = 1,
+        page_size: int = DEFAULT_PAGE_SIZE,
+        highlight: bool = True,
+        with_total: bool = True,
+    ) -> dict:
+        """Ranked page of documents with highlighting + metadata.
+
+        Pagination = top-(page·size) then slice (T2: SearchHitIterator
+        re-issues with from=consumed; one growing top-k is the
+        distributed equivalent). Highlight: whole doc, <em> tags
+        (DocumentService.scala:406-418)."""
+        spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
+        hits = self._topk(spec)
+        rows = hits.collect()[(page - 1) * page_size :]
+        ids = [r["doc_id"] for r in rows]
+        scores = {r["doc_id"]: r["score_e6"] / 1e6 for r in rows}
+        docs: list[dict] = []
+        if ids:
+            body = self.transcripts.filter(F.col("doc_id").isin(ids))
+            if highlight and spec.all_scored_terms():
+                pat = "(?i)\\b(" + "|".join(spec.all_scored_terms()) + ")\\b"
+                body = body.withColumn(
+                    "highlighted", F.regexp_replace("text", pat, "<em>$1</em>")
+                )
+            else:
+                body = body.withColumn("highlighted", F.col("text"))
+            by_id = {r["doc_id"]: r for r in body.collect()}
+            for did in ids:  # preserve rank order
+                r = by_id[did]
+                docs.append(
+                    {
+                        "id": did,
+                        "score": scores[did],
+                        "content": r["text"],
+                        "highlighted": r["highlighted"],
+                        "metadata": {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "role": r["role"],
+                            "tool": r["tool"],
+                            "ts": str(r["ts"]),
+                        },
+                    }
+                )
+        total = (
+            matching_docs(self.transcripts, spec, self.mode).count() if with_total else None
+        )
+        return {"hits": total, "page": page, "docs": docs}
+
+    # -- GET /induceSubgraph ----------------------------------------------
+
+    def induce_subgraph(
+        self,
+        query: str = "",
+        time_range: str | None = None,
+        n_nodes: int = 10,
+        min_edge: int = 1,
+    ) -> dict:
+        """Top tool nodes over the filtered doc set + every pairwise
+        edge in ONE self-join job (vs the reference's O(n²) sequential
+        include-filtered aggregations, NetworkService.scala:152-175)."""
+        spec = compile_spec(query, time_range, mode=self.mode)
+        m = matching_docs(self.transcripts, spec, self.mode)
+        nodes = facets_mod.facet_counts(m, "tool", k=n_nodes).collect()
+        node_vals = [r["value"] for r in nodes]
+        edges = (
+            facets_mod.cooccurrence(
+                m.filter(F.col("tool").isin(node_vals)).select("conv_id", "tool"),
+                "conv_id",
+                "tool",
+                min_count=min_edge,
+            ).collect()
+        )
+        return {
+            "nodes": [{"id": r["value"], "occurrence": r["n_docs"]} for r in nodes],
+            "relationships": [
+                {"source": r["source"], "target": r["target"], "weight": r["weight"]}
+                for r in edges
+            ],
+        }
+
+    # -- GET /getTimeline ---------------------------------------------------
+
+    def get_timeline(
+        self, query: str = "", time_range: str | None = None, lod: str = "month"
+    ) -> dict:
+        """Dense date-histogram buckets at the LoD (decade|year|month|day)."""
+        spec = compile_spec(query, time_range, mode=self.mode)
+        m = matching_docs(self.transcripts, spec, self.mode)
+        rows = facets_mod.date_histogram(m, lod).collect()
+        key = "decade" if lod == "decade" else "bucket"
+        return {
+            "lod": lod,
+            "buckets": [{"key": str(r[key]), "docCount": r["n_docs"]} for r in rows],
+        }
+
+    # -- GET /getAggregate ---------------------------------------------------
+
+    def aggregate(
+        self,
+        facet_key: str,
+        query: str = "",
+        time_range: str | None = None,
+        size: int = DEFAULT_PAGE_SIZE,
+        include: list[str] | None = None,
+        exclude: list[str] | None = None,
+    ) -> dict:
+        spec = compile_spec(query, time_range, mode=self.mode)
+        m = matching_docs(self.transcripts, spec, self.mode)
+        rows = facets_mod.facet_counts(m, facet_key, k=size, include=include, exclude=exclude).collect()
+        return {
+            "key": facet_key,
+            "buckets": [{"key": r["value"], "docCount": r["n_docs"]} for r in rows],
+        }
+
+    # -- internals ----------------------------------------------------------
+
+    def _topk(self, spec: QuerySpec) -> DataFrame:
+        if self.index_dir is not None:
+            return search(self.spark, self.index_dir, spec)
+        return bm25_topk(self.transcripts, spec, mode=self.mode)

@@ -141,6 +141,29 @@ def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
 
+def matching_docs(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -> DataFrame:
+    """The UNSCORED doc set a spec matches — F1 terms/phrases as
+    membership predicates plus F2/F5 filters. This is what the reference
+    applies to aggregation/timeline/network requests (the same bool
+    query filters the doc set; only getDocs ranks). Returns the
+    transcripts rows that match, full schema preserved."""
+    required = _sanitize(spec.all_scored_terms())
+    out = transcripts
+    if required or spec.phrases:
+        toks = tokens_col(F.col("text"), mode)
+        pred = None
+        for t in required:
+            c = F.array_contains(toks, t)
+            pred = c if pred is None else (pred & c)
+        if spec.phrases:
+            joined = F.concat(F.lit(" "), F.array_join(toks, " "), F.lit(" "))
+            for p in spec.phrases:
+                c = _phrase_predicate(joined, p)
+                pred = c if pred is None else (pred & c)
+        out = out.filter(pred)
+    return _apply_filters(out, spec)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twin — same math, same tie-break, same output schema.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,99 @@
+"""Serving-layer API tests: the getDocs/induceSubgraph/getTimeline/
+aggregate surface must agree with the operator layer it composes
+(engine search, facet_counts, cooccurrence, date_histogram)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from newsleak_spark import facets as facets_mod
+from newsleak_spark.api import NewsleakAPI
+from newsleak_spark.indexing import IndexConfig, build_index
+from newsleak_spark.query import QuerySpec, bm25_topk
+from newsleak_spark.query.brute import matching_docs
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, transcripts, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("apiidx"))
+    build_index(spark, transcripts, d, IndexConfig(n_shards=4, n_term_buckets=8, block_size=32))
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def api(spark, transcripts, index_dir):
+    return NewsleakAPI(spark, transcripts, index_dir)
+
+
+@pytest.fixture(scope="module")
+def api_noindex(spark, transcripts):
+    return NewsleakAPI(spark, transcripts, None)
+
+
+def test_get_docs_ranks_match_engine(api, api_noindex, transcripts):
+    want = [r["doc_id"] for r in bm25_topk(transcripts, QuerySpec(terms=("merge", "window"), k=10)).collect()]
+    got = api.get_docs("merge window", page_size=10, with_total=False)
+    assert [d["id"] for d in got["docs"]] == want
+    got2 = api_noindex.get_docs("merge window", page_size=10, with_total=False)
+    assert [d["id"] for d in got2["docs"]] == want
+
+
+def test_get_docs_shape_and_highlight(api):
+    out = api.get_docs('merge "fast table"', page_size=5)
+    assert out["hits"] is not None and out["hits"] >= len(out["docs"])
+    for d in out["docs"]:
+        assert {"id", "score", "content", "highlighted", "metadata"} <= set(d)
+        assert "<em>" in d["highlighted"]
+        assert set(d["metadata"]) == {"conv_id", "turn_idx", "role", "tool", "ts"}
+
+
+def test_get_docs_pagination(api):
+    all20 = api.get_docs("table", page_size=20, with_total=False)["docs"]
+    p2 = api.get_docs("table", page=2, page_size=10, with_total=False)["docs"]
+    assert [d["id"] for d in p2] == [d["id"] for d in all20[10:]]
+
+
+def test_get_docs_hits_is_matching_count(api, transcripts):
+    spec = QuerySpec(terms=("merge",))
+    out = api.get_docs("merge", page_size=3)
+    assert out["hits"] == matching_docs(transcripts, spec).count()
+
+
+def test_induce_subgraph_matches_operator_layer(api, transcripts):
+    g = api.induce_subgraph(n_nodes=7)
+    want_nodes = facets_mod.facet_counts(
+        transcripts.filter(F.col("tool").isNotNull()), "tool", k=7
+    ).collect()
+    assert [n["id"] for n in g["nodes"]] == [r["value"] for r in want_nodes]
+    assert g["relationships"], "expected co-usage edges"
+    for e in g["relationships"]:
+        assert e["source"] < e["target"] and e["weight"] >= 1
+
+
+def test_induce_subgraph_filtered(api, transcripts):
+    g = api.induce_subgraph(query="merge", n_nodes=5)
+    m = matching_docs(transcripts, QuerySpec(terms=("merge",)))
+    want = facets_mod.facet_counts(m, "tool", k=5).collect()
+    assert [n["id"] for n in g["nodes"]] == [r["value"] for r in want]
+
+
+def test_timeline_dense_buckets(api):
+    tl = api.get_timeline(lod="year")
+    keys = [b["key"] for b in tl["buckets"]]
+    assert keys == sorted(keys) and len(keys) == len(set(keys))
+    # dense: every year between min and max present (min_doc_count=0)
+    years = [int(k) for k in keys]
+    assert years == list(range(years[0], years[-1] + 1))
+
+
+def test_timeline_respects_time_range(api):
+    tl = api.get_timeline(time_range="2018-2019", lod="year")
+    assert all(b["key"] in ("2018", "2019") for b in tl["buckets"])
+
+
+def test_aggregate_include_zero_fill(api):
+    out = api.aggregate("tool", include=["tool_1", "zzz_never"])
+    by_key = {b["key"]: b["docCount"] for b in out["buckets"]}
+    assert by_key.get("zzz_never") == 0 and by_key.get("tool_1", 0) > 0
