@@ -49,7 +49,6 @@ import time
 from dataclasses import asdict, dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,27 +107,39 @@ def _postings(tokenized: DataFrame, with_positions: bool) -> DataFrame:
     array, so per-doc term aggregation needs no shuffle — the naive
     ``posexplode → groupBy(doc_id, term)`` plan shuffles the entire
     exploded token stream for keys that are already partition-local.
-    Implemented as numpy (flatten → stable lexsort by (doc, term) →
-    run-length reduce) over Arrow batches; positions come out ascending
-    because lexsort is stable and token positions arrive in order.
+
+    Arrow-native (mapInArrow): token factorization runs in C++
+    (pc.dictionary_encode over the list-array's values buffer), group
+    reduction is numpy (stable lexsort by (doc, term) → run-length
+    reduce), and the ragged positions column is emitted as ONE
+    ListArray built from (offsets, values) buffers — no np.split into
+    millions of per-posting arrays, no per-row Python anywhere.
+    Positions come out ascending because lexsort is stable and token
+    positions arrive in order.
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def run(batches):
-        for pdf in batches:
-            toks = pdf["toks"].to_numpy()
-            n_per = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-            total = int(n_per.sum())
+        for batch in batches:
+            toks = batch.column("toks")
+            offs_raw = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base0 = int(offs_raw[0])
+            offs = offs_raw - base0  # slice-safe: offsets may not start at 0
+            n_rows = len(toks)
+            total = int(offs[-1])
             if total == 0:
                 continue
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            dls = pdf["dl"].to_numpy(dtype=np.int64)
-            shards = pdf["shard"].to_numpy(dtype=np.int64)
-            flat = np.concatenate([np.asarray(t) for t in toks if len(t)])
-            # int codes instead of strings: lexsort/compare in C, not
-            # per-element Python string comparison
-            codes, uniques = pd.factorize(flat)
-            offs = np.concatenate(([0], np.cumsum(n_per)))
-            doc_idx = np.repeat(np.arange(len(toks)), n_per)
+            flat_vals = toks.values.slice(base0, total)
+            enc = pc.dictionary_encode(flat_vals)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+            shards = batch.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+
+            n_per = np.diff(offs)
+            doc_idx = np.repeat(np.arange(n_rows), n_per)
             pos = (np.arange(total) - np.repeat(offs[:-1], n_per)).astype(np.int32)
             order = np.lexsort((codes, doc_idx))  # primary doc, secondary term, stable
             fd, ft, fp = doc_idx[order], codes[order], pos[order]
@@ -138,55 +149,75 @@ def _postings(tokenized: DataFrame, with_positions: bool) -> DataFrame:
             starts = np.flatnonzero(new)
             tf = np.diff(np.append(starts, total)).astype(np.int32)
             gd = fd[starts]
-            out = {
-                "doc_id": doc_ids[gd],
-                "term": uniques[ft[starts]],
-                "tf": tf,
-                "dl": dls[gd].astype(np.int32),
-                "shard": shards[gd].astype(np.int32),
-            }
-            if with_positions:
-                out["positions"] = np.split(fp, starts[1:])
-            else:
-                out["positions"] = [None] * starts.size
-            yield pd.DataFrame(out)
 
-    return tokenized.select("doc_id", "shard", "dl", "toks").mapInPandas(
+            if with_positions:
+                positions = pa.ListArray.from_arrays(
+                    pa.array(np.append(starts, total).astype(np.int32)),
+                    pa.array(fp, type=pa.int32()),
+                )
+            else:
+                positions = pa.nulls(starts.size, pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[gd], type=pa.int64()),
+                    pc.take(dic, pa.array(ft[starts])),
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(dls[gd].astype(np.int32), type=pa.int32()),
+                    pa.array(shards[gd].astype(np.int32), type=pa.int32()),
+                    positions,
+                ],
+                names=["doc_id", "term", "tf", "dl", "shard", "positions"],
+            )
+
+    return tokenized.select("doc_id", "shard", "dl", "toks").mapInArrow(
         run, _POSTINGS_SCHEMA
     )
 
 
 def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
-    """Vectorized whole-group encoder: one pandas frame per
-    (shard, bucket, salt) group, every term run and every block inside
-    it encoded with numpy array programs — varint streams are encoded
-    ONCE for the whole group and sliced per block via byte offsets
-    (codec.varint_encode_with_offsets), block maxima via
-    np.maximum.reduceat. Per-block Python work is a handful of slices.
+    """Vectorized whole-group encoder (applyInArrow): one Arrow table
+    per (shard, bucket, salt) group, every term run and every block
+    inside it encoded with numpy array programs — varint streams are
+    encoded ONCE for the whole group and sliced per block via byte
+    offsets (codec.varint_encode_with_offsets), block maxima via
+    np.maximum.reduceat. The ragged positions column arrives as a
+    ListArray and is consumed as its (offsets, values) buffers — no
+    per-posting Python objects. Per-block Python work is a handful of
+    byte slices.
 
     Byte format per block is IDENTICAL to encoding each block alone:
     doc deltas reset to absolute at block starts; position deltas reset
     at posting starts (posting streams never span blocks).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     block_size = cfg.block_size
     with_pos = cfg.with_positions
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort", ignore_index=True)
-        n = len(pdf)
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["dl"].to_numpy(dtype=np.int64)
-        dfs = pdf["df"].to_numpy(dtype=np.float64)
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        salt = int(pdf["salt"].iloc[0])
+    def encode(table: "pa.Table") -> "pa.Table":
+        # (term, doc_id) is unique within a group, so sort stability
+        # is irrelevant; Arrow sorts term codes + ints in C++
+        idx = pc.sort_indices(
+            table, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
+        )
+        table = table.take(idx).combine_chunks()
+        n = table.num_rows
+        term_enc = pc.dictionary_encode(table.column("term").chunk(0))
+        term_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        term_dict = term_enc.dictionary
+        docs = table.column("doc_id").to_numpy()
+        tfs = table.column("tf").to_numpy().astype(np.int64)
+        dls = table.column("dl").to_numpy().astype(np.int64)
+        dfs = table.column("df").to_numpy().astype(np.float64)
+        shard = int(table.column("shard")[0].as_py())
+        bucket = int(table.column("bucket")[0].as_py())
+        salt = int(table.column("salt")[0].as_py())
 
         # term runs → block boundaries (every run restarts block_seq)
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
-        new_term[1:] = terms[1:] != terms[:-1]
+        new_term[1:] = term_codes[1:] != term_codes[:-1]
         run_starts = np.flatnonzero(new_term)
         run_ends = np.append(run_starts[1:], n)
         block_starts = np.concatenate(
@@ -215,14 +246,18 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
         lbuf, loffs = varint_encode_with_offsets(dls.astype(np.uint64))
 
         if with_pos:
-            pos_lists = pdf["positions"].to_numpy()
-            counts = np.fromiter((len(p) for p in pos_lists), dtype=np.uint64, count=n)
+            parr = table.column("positions").chunk(0)
+            poffs = parr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            pbase = int(poffs[0])
+            pcum = poffs - pbase  # == cumulative position counts per row
+            counts = np.diff(pcum).astype(np.uint64)
             cbuf, coffs = varint_encode_with_offsets(counts)
-            pcum = np.concatenate(([0], np.cumsum(counts.astype(np.int64))))
             total = int(pcum[-1])
             if total:
-                flat = np.concatenate(
-                    [np.asarray(p, dtype=np.uint64) for p in pos_lists if len(p)]
+                flat = (
+                    parr.values.slice(pbase, total)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
                 )
                 fdeltas = flat.copy()
                 fdeltas[1:] = flat[1:] - flat[:-1]
@@ -232,33 +267,47 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
             else:
                 fbuf, foffs = b"", np.zeros(1, dtype=np.int64)
 
-        rows = {
-            "shard": np.full(block_starts.size, shard, dtype=np.int32),
-            "bucket": np.full(block_starts.size, bucket, dtype=np.int32),
-            "term": terms[block_starts],
-            "salt": np.full(block_starts.size, salt, dtype=np.int32),
-            "block_seq": block_seq.astype(np.int32),
-            "n": (block_ends - block_starts).astype(np.int32),
-            "doc_first": docs[block_starts],
-            "doc_last": docs[block_ends - 1],
-            "max_tf": max_tfs.astype(np.int32),
-            "max_score": max_scores,
-            "docs": [dbuf[doffs[s] : doffs[e]] for s, e in zip(block_starts, block_ends)],
-            "tfs": [tbuf[toffs[s] : toffs[e]] for s, e in zip(block_starts, block_ends)],
-            "dls": [lbuf[loffs[s] : loffs[e]] for s, e in zip(block_starts, block_ends)],
+        nb = block_starts.size
+        cols = {
+            "shard": pa.array(np.full(nb, shard, dtype=np.int32)),
+            "bucket": pa.array(np.full(nb, bucket, dtype=np.int32)),
+            "term": pc.take(term_dict, pa.array(term_codes[block_starts])),
+            "salt": pa.array(np.full(nb, salt, dtype=np.int32)),
+            "block_seq": pa.array(block_seq.astype(np.int32)),
+            "n": pa.array((block_ends - block_starts).astype(np.int32)),
+            "doc_first": pa.array(docs[block_starts], type=pa.int64()),
+            "doc_last": pa.array(docs[block_ends - 1], type=pa.int64()),
+            "max_tf": pa.array(max_tfs.astype(np.int32)),
+            "max_score": pa.array(max_scores, type=pa.float64()),
+            "docs": pa.array(
+                [dbuf[doffs[s] : doffs[e]] for s, e in zip(block_starts, block_ends)],
+                type=pa.binary(),
+            ),
+            "tfs": pa.array(
+                [tbuf[toffs[s] : toffs[e]] for s, e in zip(block_starts, block_ends)],
+                type=pa.binary(),
+            ),
+            "dls": pa.array(
+                [lbuf[loffs[s] : loffs[e]] for s, e in zip(block_starts, block_ends)],
+                type=pa.binary(),
+            ),
         }
         if with_pos:
-            rows["poscnt"] = [
-                cbuf[coffs[s] : coffs[e]] for s, e in zip(block_starts, block_ends)
-            ]
-            rows["posflat"] = [
-                fbuf[foffs[pcum[s]] : foffs[pcum[e]]]
-                for s, e in zip(block_starts, block_ends)
-            ]
+            cols["poscnt"] = pa.array(
+                [cbuf[coffs[s] : coffs[e]] for s, e in zip(block_starts, block_ends)],
+                type=pa.binary(),
+            )
+            cols["posflat"] = pa.array(
+                [
+                    fbuf[foffs[pcum[s]] : foffs[pcum[e]]]
+                    for s, e in zip(block_starts, block_ends)
+                ],
+                type=pa.binary(),
+            )
         else:
-            rows["poscnt"] = [b""] * block_starts.size
-            rows["posflat"] = [b""] * block_starts.size
-        return pd.DataFrame(rows)
+            cols["poscnt"] = pa.array([b""] * nb, type=pa.binary())
+            cols["posflat"] = pa.array([b""] * nb, type=pa.binary())
+        return pa.table(cols)
 
     return encode
 
@@ -400,7 +449,7 @@ def build_index(
             .otherwise(F.lit(0))
             .cast("int"),
         )
-        blocks = joined.groupBy("shard", "bucket", "salt").applyInPandas(
+        blocks = joined.groupBy("shard", "bucket", "salt").applyInArrow(
             _encode_bucket_fn(cfg, n_docs, avgdl), BLOCK_SCHEMA
         )
         # second (cheap) shuffle: co-locate each (shard,bucket) partition's
