@@ -26,6 +26,7 @@ from newsleak_spark import facets
 from newsleak_spark import textops
 from newsleak_spark import similarity
 from newsleak_spark import curation
+from newsleak_spark import events
 from newsleak_spark import multimodal
 from newsleak_spark.analysis import analyze
 from newsleak_spark.query.spec import parse_query_string, parse_time_range
@@ -154,6 +155,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda t: facets.facet_counts(t, "tool", k=50, include=["tool_0", "tool_1", "tool_99"])
     )
     q["g5_cardinality_tool"] = _transcripts_q(lambda t: facets.cardinality(t, "tool"))
+    # ES's cardinality agg is HLL-approximate (NetworkService.scala:204-223);
+    # this is that scale path — no SQL oracle (rows-only check), the exact
+    # twin above is the hash-verified one
+    q["g5_cardinality_approx"] = _transcripts_q(
+        lambda t: facets.cardinality(t, "tool", exact=False)
+    )
     q["g6_histogram_month"] = _transcripts_q(lambda t: facets.date_histogram(t, "month"))
     q["g6_histogram_year"] = _transcripts_q(lambda t: facets.date_histogram(t, "year"))
     q["g8_decade"] = _transcripts_q(facets.decade_histogram)
@@ -181,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(textops.queries())
     q.update(similarity.queries())
     q.update(multimodal.queries())
+    # event-time stream idioms over the events table (windows, sessions, JSON)
+    q.update(events.queries())
     return q
 
 
@@ -280,4 +289,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(textops.oracle_sql())
     o.update(similarity.oracle_sql())
     o.update(multimodal.oracle_sql())
+    o.update(events.oracle_sql())
     return o

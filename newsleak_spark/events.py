@@ -1,0 +1,162 @@
+"""Event-stream operators over the ``events`` table.
+
+The reference is batch-only (SURVEY §2.10), but the graft's engine
+serves a continuously-growing corpus, so the event-time idioms a
+stream pipeline needs are implemented (batch-computable, DuckDB-
+oracled; the ingest side of streaming lives in streaming.py):
+
+  ev_window_agg   tumbling event-time windows (F.window — the exact
+                  operator Structured Streaming reuses for windowed
+                  aggregation; G6's date_histogram generalized below
+                  day granularity)
+  ev_sessionize   gap-based sessionization (30-min inactivity): lag +
+                  running sum over a user-keyed window — the batch twin
+                  of applyInPandasWithState session windows
+  ev_json_props   dynamic JSON props extraction (newsleak's dynamic
+                  metadata fields analog, Postgres2ElasticsearchIndexer
+                  .java:402-424, as a semi-structured column)
+
+Scale notes: window agg is one hash-agg (partial+final) keyed by
+(window, type); sessionize shuffles once on user_id and the running
+sum is a single in-partition scan; timestamps compare in integer
+microseconds (unix_micros/epoch_us) so both engines agree exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min inactivity ends a session
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def ev_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: count +
+    sum(value). Uses F.window — the same operator a readStream
+    pipeline would use with a watermark."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_e2",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions: a >30-min silence starts a new session.
+    lag → boundary flag → running sum = session ordinal; one shuffle
+    (user_id), session stats per (user, session)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        # parquet stores TIMESTAMP_NTZ; session TZ is UTC so the cast
+        # is wall-clock identity, matching DuckDB's naive epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("us") - F.lag("us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(0),
+    ).withColumn(
+        "first_in_part", F.when(F.lag("us").over(w).isNull(), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum(F.col("new_sess") + F.col("first_in_part")).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # floor, not cast: double->int casts round in DuckDB but
+            # truncate in Spark — floor agrees everywhere
+            F.floor((F.max("us") - F.min("us")) / 1_000_000).cast("long").alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON metadata: extract props.k, bucket stats per
+    event_type (the dynamic-metadata-field read path as JSON)."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ev_window_agg": ev_window_agg,
+        "ev_sessionize": ev_sessionize,
+        "ev_json_props": ev_json_props,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "ev_window_agg": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_e2
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+        "ev_sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_sess,
+         CASE WHEN LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS first_in_part
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_sess + first_in_part) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(FLOOR((MAX(us) - MIN(us)) / 1000000.0) AS BIGINT) AS duration_sec
+FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+        "ev_json_props": """
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type ORDER BY event_type""",
+    }

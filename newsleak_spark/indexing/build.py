@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark.analysis import ANALYZER_VERSION, tokens_col
-from newsleak_spark.codec import varint_encode_with_offsets
+from newsleak_spark.codec import gather_ragged, varint_encode_with_offsets
 from newsleak_spark.indexing.manifest import (
     Manifest,
     StageRecord,
@@ -196,20 +196,27 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
     with_pos = cfg.with_positions
 
     def encode(table: "pa.Table") -> "pa.Table":
-        # (term, doc_id) is unique within a group, so sort stability
-        # is irrelevant; Arrow sorts term codes + ints in C++
-        idx = pc.sort_indices(
-            table, sort_keys=[("term", "ascending"), ("doc_id", "ascending")]
-        )
-        table = table.take(idx).combine_chunks()
+        # Group by term (dictionary code) then doc order — numpy lexsort
+        # + fancy-index of the SCALAR columns only. No Arrow take(): a
+        # take on the positions ListArray would physically copy every
+        # position; gather_ragged permutes the ragged pair in one
+        # vectorized pass instead. Run order inside the group is
+        # code order, not lexicographic — irrelevant: blocks are per
+        # term, and the post-encode sortWithinPartitions lays rows out
+        # term-sorted for parquet row-group pruning.
+        table = table.combine_chunks()
         n = table.num_rows
         term_enc = pc.dictionary_encode(table.column("term").chunk(0))
-        term_codes = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes_u = term_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         term_dict = term_enc.dictionary
-        docs = table.column("doc_id").to_numpy()
-        tfs = table.column("tf").to_numpy().astype(np.int64)
-        dls = table.column("dl").to_numpy().astype(np.int64)
-        dfs = table.column("df").to_numpy().astype(np.float64)
+        docs_u = table.column("doc_id").to_numpy()
+        order = np.lexsort((docs_u, codes_u))  # primary term code, secondary doc
+
+        term_codes = codes_u[order]
+        docs = docs_u[order]
+        tfs = table.column("tf").to_numpy().astype(np.int64)[order]
+        dls = table.column("dl").to_numpy().astype(np.int64)[order]
+        dfs = table.column("df").to_numpy().astype(np.float64)[order]
         shard = int(table.column("shard")[0].as_py())
         bucket = int(table.column("bucket")[0].as_py())
         salt = int(table.column("salt")[0].as_py())
@@ -249,16 +256,21 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
             parr = table.column("positions").chunk(0)
             poffs = parr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             pbase = int(poffs[0])
-            pcum = poffs - pbase  # == cumulative position counts per row
-            counts = np.diff(pcum).astype(np.uint64)
+            counts_u = np.diff(poffs - pbase).astype(np.int64)
+            total = int(poffs[-1] - pbase)
+            flat_u = (
+                parr.values.slice(pbase, total)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            # permute the ragged pair into (term, doc) order without
+            # materializing per-posting arrays
+            counts_s, flat_s = gather_ragged(counts_u, flat_u, order)
+            counts = counts_s.astype(np.uint64)
             cbuf, coffs = varint_encode_with_offsets(counts)
-            total = int(pcum[-1])
+            pcum = np.concatenate(([0], np.cumsum(counts_s)))
             if total:
-                flat = (
-                    parr.values.slice(pbase, total)
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
-                )
+                flat = flat_s.astype(np.uint64)
                 fdeltas = flat.copy()
                 fdeltas[1:] = flat[1:] - flat[:-1]
                 first_idx = pcum[:-1][counts > 0]

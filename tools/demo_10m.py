@@ -1,0 +1,72 @@
+"""Single-node scale demonstration: build a 10M-turn index on
+local[32] and measure warm query latency on it (the numbers behind
+BASELINE.md §"10M-turn single-node demonstration").
+
+Usage: python tools/demo_10m.py [n_turns]   (default 10_000_000)
+Prints one JSON line: build stage walls + per-query warm latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from newsleak_spark.indexing import IndexConfig, build_index  # noqa: E402
+from newsleak_spark.indexing.manifest import Manifest  # noqa: E402
+from newsleak_spark.query import QuerySpec  # noqa: E402
+from newsleak_spark.query.engine import search  # noqa: E402
+from newsleak_spark.session import get_spark  # noqa: E402
+from newsleak_spark.transcripts import synth_transcripts  # noqa: E402
+
+QUERIES = {
+    "single_w3": QuerySpec(terms=("w3",), k=20),
+    "hot_spark": QuerySpec(terms=("spark",), k=20),
+    "and_w5_w17": QuerySpec(terms=("w5", "w17"), k=20),
+    "phrase_selective": QuerySpec(phrases=(("w207", "w1033"),), k=20),
+    "phrase_worstcase": QuerySpec(phrases=(("w2", "w4"),), k=20),
+    "union_bmw": QuerySpec(terms=(), boost_terms=("w3", "w9", "w27"), k=20),
+    "filtered_w3_role": QuerySpec(terms=("w3",), role_filter=("user",), k=20),
+}
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark(app_name="demo_10m")
+    spark.range(1_000).count()
+
+    idx = f"/tmp/newsleak_demo_{n_turns}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t = synth_transcripts(spark, n_turns, partitions=256)
+    t0 = time.time()
+    build_index(spark, t, idx, IndexConfig(), resume=False)
+    build_sec = time.time() - t0
+    man = Manifest(idx)
+
+    out = {
+        "n_turns": n_turns,
+        "build_sec": round(build_sec, 1),
+        "turns_per_sec": round(n_turns / build_sec),
+        "stage_sec": {k: round(v["wall_sec"], 1) for k, v in man.stages.items()},
+        "postings": man.stats.get("n_postings"),
+        "terms": man.stats.get("n_terms"),
+        "hot_terms": man.stats.get("n_hot_terms"),
+    }
+
+    lat: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        search(spark, idx, spec).collect()  # cold (plan + page cache)
+        t0 = time.time()
+        search(spark, idx, spec).collect()
+        lat[name] = round(time.time() - t0, 2)
+    out["query_warm_sec"] = lat
+    shutil.rmtree(idx, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
