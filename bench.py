@@ -204,7 +204,33 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
     )
 
 
+def _hw_ceiling() -> dict:
+    """Same-moment hardware scaling ceiling at the pair's TRUE process
+    demand. A '2-core' executor running Arrow UDF stages demands ~4
+    processes (2 JVM task threads + 2 python workers), so the N=1 vs
+    4N=4 pair really contends for ~4 vs ~16 host processes; on this
+    time-shared VM the deliverable ratio varies by hour. Measuring it
+    with the engine run (pure-CPU burn, tools/cpu_calibration.py) lets
+    the evidence separate engine scaling from host weather."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from cpu_calibration import burn  # noqa: E402
+    import multiprocessing as mp
+
+    out = {}
+    for p in (4, 16):
+        with mp.Pool(p) as pool:
+            t0 = time.time()
+            pool.map(burn, range(p))
+            out[p] = p / (time.time() - t0)
+    return {
+        "units_per_sec": {str(k): round(v, 3) for k, v in out.items()},
+        "hw_speedup_4x": round(out[16] / out[4], 3),
+        "hw_efficiency_4x": round(out[16] / out[4] / 4.0, 3),
+    }
+
+
 def _run_scaling(n_turns: int) -> dict:
+    hw = _hw_ceiling()
     results = {}
     for n_exec in (1, 4):  # N and 4N executor JVMs (2 cores each)
         proc = subprocess.run(
@@ -225,8 +251,11 @@ def _run_scaling(n_turns: int) -> dict:
 
     thpt_n = results[1]["build_turns_per_sec"]
     thpt_4n = results[4]["build_turns_per_sec"]
+    speedup = thpt_4n / thpt_n
     out = {
         "kind": "strong_scaling_same_input",
+        "hw_ceiling": hw,
+        "efficiency_vs_hw_ceiling": round(speedup / hw["hw_speedup_4x"], 3),
         "proxy": "local-cluster[1,2,4096] vs local-cluster[4,2,4096]: "
         "N=1 vs 4N=4 separate executor JVMs (2 cores each) on one host, "
         f"same input, fixed {SCALE_PARTS} shuffle partitions; pair sized "
@@ -236,8 +265,8 @@ def _run_scaling(n_turns: int) -> dict:
         "n_turns": n_turns,
         "n_executors": results[1],
         "4n_executors": results[4],
-        "speedup": round(thpt_4n / thpt_n, 3),
-        "efficiency": round((thpt_4n / thpt_n) / 4.0, 3),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / 4.0, 3),
         "query_speedup": round(results[1]["query_sec"] / results[4]["query_sec"], 3),
     }
     os.makedirs(os.path.dirname(SCALING_CACHE), exist_ok=True)
