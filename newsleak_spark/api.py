@@ -32,9 +32,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark import facets as facets_mod
-from newsleak_spark.analysis import analyze
+from newsleak_spark.analysis import analyze, analyze_standard
+from newsleak_spark.curation import highlight_col
 from newsleak_spark.query.brute import bm25_topk, matching_docs
-from newsleak_spark.query.engine import search
+from newsleak_spark.query.engine import count_hits, search
 from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
 
 DEFAULT_PAGE_SIZE = 50  # DocumentController.scala:47
@@ -94,8 +95,18 @@ class NewsleakAPI:
         Pagination = top-(page·size) then slice (T2: SearchHitIterator
         re-issues with from=consumed; one growing top-k is the
         distributed equivalent). Highlight: whole doc, <em> tags
-        (DocumentService.scala:406-418)."""
+        (DocumentService.scala:406-418) — matched on the query's
+        SURFACE words (pre-stemming), since the ES highlighter matches
+        analyzed terms back to surface forms; the english-mode stem
+        'databas' would never regex-match 'databases' in raw text.
+        ``with_total``: on the indexed path the count comes from the
+        index alone (engine.count_hits, no text scan); brute fallback
+        pays one matching_docs scan."""
         spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
+        surface_terms, surface_phrases = parse_query_string(query, analyzer=analyze_standard)
+        surface_words = list(
+            dict.fromkeys(list(surface_terms) + [w for p in surface_phrases for w in p])
+        )
         hits = self._topk(spec)
         rows = hits.collect()[(page - 1) * page_size :]
         ids = [r["doc_id"] for r in rows]
@@ -103,16 +114,19 @@ class NewsleakAPI:
         docs: list[dict] = []
         if ids:
             body = self.transcripts.filter(F.col("doc_id").isin(ids))
-            if highlight and spec.all_scored_terms():
-                pat = "(?i)\\b(" + "|".join(spec.all_scored_terms()) + ")\\b"
+            if highlight and surface_words:
                 body = body.withColumn(
-                    "highlighted", F.regexp_replace("text", pat, "<em>$1</em>")
+                    "highlighted", highlight_col(F.col("text"), surface_words)
                 )
             else:
                 body = body.withColumn("highlighted", F.col("text"))
             by_id = {r["doc_id"]: r for r in body.collect()}
             for did in ids:  # preserve rank order
-                r = by_id[did]
+                r = by_id.get(did)
+                if r is None:
+                    # index/table drift (stale index or filtered table):
+                    # skip rather than fail the whole request
+                    continue
                 docs.append(
                     {
                         "id": did,
@@ -128,9 +142,12 @@ class NewsleakAPI:
                         },
                     }
                 )
-        total = (
-            matching_docs(self.transcripts, spec, self.mode).count() if with_total else None
-        )
+        total = None
+        if with_total:
+            if self.index_dir is not None:
+                total = count_hits(self.spark, self.index_dir, spec)
+            else:
+                total = matching_docs(self.transcripts, spec, self.mode).count()
         return {"hits": total, "page": page, "docs": docs}
 
     # -- GET /induceSubgraph ----------------------------------------------

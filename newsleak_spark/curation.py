@@ -311,19 +311,25 @@ _J4_SPEC = QuerySpec(terms=("spark",), k=20)
 _HL_SPEC = QuerySpec(terms=("merge",), k=10)
 
 
+def highlight_col(text, words) -> F.Column:
+    """Whole-doc highlight: word-boundary matches of ``words`` wrapped
+    in <em> tags (DocumentService.scala:406-418: 0 fragments = whole
+    doc, <em>). Shared by p2_highlight and api.get_docs."""
+    pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.regexp_replace(text, pat, "<em>$1</em>")
+
+
 def p2_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/getDocs highlight: top-k hits with the whole document
-    highlighted — query-term word matches wrapped in <em> tags
-    (DocumentService.scala:406-418: 0 fragments = whole doc, <em>)."""
+    highlighted."""
     t = load_transcripts(spark, sf_dir)
     hits = bm25_topk(t, _HL_SPEC)
-    pat = "(?i)\\b(" + "|".join(_HL_SPEC.terms) + ")\\b"
     return (
         hits.join(t.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             "score_e6",
-            F.regexp_replace("text", pat, "<em>$1</em>").alias("highlighted"),
+            highlight_col(F.col("text"), _HL_SPEC.terms).alias("highlighted"),
         )
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
     )
@@ -419,8 +425,10 @@ A10_UNIGRAMS = (
     ("stream", "SQLOP"),
 )
 # Multi-word-unit dict entry matched on token adjacency
-# (DictionaryExtractor.java:184-230): non-overlapping occurrences over
-# the space-joined token stream (identical scan semantics both engines).
+# (DictionaryExtractor.java:184-230): counted per token WINDOW
+# (toks[i..i+1] == MWU), so adjacent repeats each count — a regex scan
+# over the space-joined stream consumes the shared boundary space and
+# undercounts "... fast table fast table ...".
 A10_MWU = ("fast", "table")
 A10_DOC_LIMIT = 300
 
@@ -430,11 +438,21 @@ def a10_dict_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan — per-type extraction arrays are struct-tagged, concatenated
     and exploded in a single pass, then counted per (doc, type, value)."""
     t = load_transcripts(spark, sf_dir).filter(F.col("doc_id") < A10_DOC_LIMIT)
-    base = t.select("doc_id", F.lower("text").alias("lt"))
+    base = t.select(
+        "doc_id",
+        F.lower("text").alias("lt"),
+        F.regexp_extract_all(F.lower("text"), F.lit(STANDARD_TOKEN_RE), 0).alias("tk"),
+    )
 
-    mwu_needle = " " + " ".join(A10_MWU) + " "
-    joined = F.concat(
-        F.lit(" "), F.array_join(F.regexp_extract_all("lt", F.lit(STANDARD_TOKEN_RE), 0), " "), F.lit(" ")
+    mwu_phrase = " ".join(A10_MWU)
+    n_mwu = len(A10_MWU)
+    # sliding token windows equal to the MWU → one 'fast table' entry
+    # per adjacency (adjacent repeats each count)
+    mwu_arr = F.expr(
+        f"CASE WHEN size(tk) >= {n_mwu} THEN "
+        f"filter(transform(sequence(0, size(tk) - {n_mwu}), "
+        f"i -> array_join(slice(tk, i + 1, {n_mwu}), ' ')), s -> s = '{mwu_phrase}') "
+        "ELSE array() END"
     )
 
     def tag(typ: str, arr: F.Column) -> F.Column:
@@ -445,20 +463,11 @@ def a10_dict_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         tag(typ, F.regexp_extract_all("lt", F.lit(pat), 0)) for typ, pat in A10_PATTERNS
     ]
-    parts.append(
-        tag(
-            "MWU",
-            F.transform(
-                F.regexp_extract_all(joined, F.lit(mwu_needle), 0), lambda v: F.trim(v)
-            ),
-        )
-    )
+    parts.append(tag("MWU", mwu_arr))
     ex = base.select("doc_id", F.explode(F.concat(*parts)).alias("e")).select(
         "doc_id", "e.ext_type", "e.value"
     )
-    toks = base.select(
-        "doc_id", F.explode(F.regexp_extract_all("lt", F.lit(STANDARD_TOKEN_RE), 0)).alias("value")
-    )
+    toks = base.select("doc_id", F.explode("tk").alias("value"))
     dic = spark.createDataFrame(list(A10_UNIGRAMS), "value string, ext_type string")
     dict_hits = toks.join(F.broadcast(dic), "value").select("doc_id", "ext_type", "value")
     return (
@@ -470,8 +479,8 @@ def a10_dict_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _a10_oracle() -> str:
-    toks_lt = "regexp_extract_all(lt, '" + STANDARD_TOKEN_RE + "')"
-    mwu_needle = " " + " ".join(A10_MWU) + " "
+    mwu_phrase = " ".join(A10_MWU)
+    n_mwu = len(A10_MWU)
     regex_selects = "\n  UNION ALL ".join(
         f"SELECT doc_id, '{typ}' AS ext_type, unnest(regexp_extract_all(lt, '{pat}')) AS value FROM base"
         for typ, pat in A10_PATTERNS
@@ -479,12 +488,17 @@ def _a10_oracle() -> str:
     dic_vals = ", ".join(f"('{v}', '{c}')" for v, c in A10_UNIGRAMS)
     return (
         _PRELUDE
-        + f"base AS (SELECT doc_id, lower(text) AS lt FROM transcripts WHERE doc_id < {A10_DOC_LIMIT}),\n"
+        + "base AS (SELECT doc_id, lower(text) AS lt,\n"
+        + f"         regexp_extract_all(lower(text), '{STANDARD_TOKEN_RE}') AS tk\n"
+        + f"         FROM transcripts WHERE doc_id < {A10_DOC_LIMIT}),\n"
         + "ex AS (\n  " + regex_selects + "\n"
-        + f"  UNION ALL SELECT doc_id, 'MWU', trim(unnest(regexp_extract_all(\n"
-        + f"    ' ' || array_to_string({toks_lt}, ' ') || ' ', '{mwu_needle}'))) FROM base\n"
-        + f"  UNION ALL SELECT doc_id, d.ext_type, t.value\n"
-        + f"    FROM (SELECT doc_id, unnest({toks_lt}) AS value FROM base) t\n"
+        + "  UNION ALL SELECT doc_id, 'MWU', unnest(\n"
+        + f"    CASE WHEN len(tk) >= {n_mwu} THEN list_filter(\n"
+        + f"      [array_to_string(tk[i + 1 : i + {n_mwu}], ' ') FOR i IN range(len(tk) - {n_mwu} + 1)],\n"
+        + f"      s -> s = '{mwu_phrase}')\n"
+        + "    ELSE [] END) FROM base\n"
+        + "  UNION ALL SELECT doc_id, d.ext_type, t.value\n"
+        + "    FROM (SELECT doc_id, unnest(tk) AS value FROM base) t\n"
         + f"    JOIN (VALUES {dic_vals}) AS d(value, ext_type) USING (value)\n"
         + ")\n"
         + "SELECT doc_id, ext_type, value, COUNT(*) AS n FROM ex\n"

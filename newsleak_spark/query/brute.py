@@ -145,11 +145,14 @@ def matching_docs(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard
     """The UNSCORED doc set a spec matches — F1 terms/phrases as
     membership predicates plus F2/F5 filters. This is what the reference
     applies to aggregation/timeline/network requests (the same bool
-    query filters the doc set; only getDocs ranks). Returns the
-    transcripts rows that match, full schema preserved."""
+    query filters the doc set; only getDocs ranks). ES bool semantics:
+    must clauses AND; with NO musts, at least one should (boost) term
+    must match. Returns the transcripts rows that match, full schema
+    preserved."""
     required = _sanitize(spec.all_scored_terms())
+    boost = _sanitize(spec.boost_terms)
     out = transcripts
-    if required or spec.phrases:
+    if required or spec.phrases or boost:
         toks = tokens_col(F.col("text"), mode)
         pred = None
         for t in required:
@@ -160,7 +163,12 @@ def matching_docs(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard
             for p in spec.phrases:
                 c = _phrase_predicate(joined, p)
                 pred = c if pred is None else (pred & c)
-        out = out.filter(pred)
+        if pred is None and boost:
+            for t in boost:
+                c = F.array_contains(toks, t)
+                pred = c if pred is None else (pred | c)
+        if pred is not None:
+            out = out.filter(pred)
     return _apply_filters(out, spec)
 
 

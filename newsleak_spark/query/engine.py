@@ -561,6 +561,55 @@ def search(
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
 
+def count_hits(
+    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
+) -> int:
+    """Total matching-doc count (G9 / getTotalHits) from the INDEX
+    alone — same shard-local intersection/filter machinery as search()
+    with per-shard top-k truncation off, reduced to a count. Never
+    touches the text column (docmeta scans are column-pruned), unlike
+    a matching_docs() scan which re-tokenizes the collection."""
+    from newsleak_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    rd = reader or _cached_reader(spark, index_dir)
+    has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
+
+    if not spec.all_scored_terms() and not spec.boost_terms:
+        return _apply_meta_filters(rd.docmeta(), spec).count()
+
+    required = list(spec.all_scored_terms())
+    boost = [t for t in spec.boost_terms if t not in required]
+    all_terms = required + boost
+    dict_rows = rd.dictionary_rows(all_terms)
+    if any(t not in dict_rows for t in required):
+        return 0
+    all_terms = [t for t in all_terms if t in dict_rows]
+    metas = [
+        TermMeta(
+            t,
+            float(dict_rows[t][0]),
+            float(np.log(1.0 + (rd.n_docs - dict_rows[t][0] + 0.5) / (dict_rows[t][0] + 0.5))),
+            t in required,
+        )
+        for t in all_terms
+    ]
+    seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
+    scorer = _make_shard_scorer(
+        metas, spec.phrases, rd.avgdl, spec.k, truncate=False, safe_bounds=rd.multi
+    )
+    if has_filters:
+        meta = _apply_meta_filters(rd.docmeta(), spec).select("shard", "doc_id")
+        cand = (
+            seg.groupBy("shard")
+            .cogroup(meta.groupBy("shard"))
+            .applyInPandas(scorer.cogrouped, "doc_id long, score double")
+        )
+    else:
+        cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
+    return cand.count()
+
+
 def _apply_meta_filters(meta: DataFrame, spec: QuerySpec) -> DataFrame:
     # single source of truth for F2/F5 semantics: the brute path's
     # filter (the engine's rank-identity oracle) — divergence here would

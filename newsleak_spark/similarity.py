@@ -63,16 +63,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and each pair's dot/norms fold inside whole-stage codegen
     (zip_with + aggregate) — one narrow stage over N rows, no ×dim row
     explosion, no position-keyed shuffle."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("embedding"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
     sims = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn(
-            "sim", _dot("embedding", "qemb") / (_norm("embedding") * _norm("qemb"))
-        )
+        .withColumn("sim", _dot("embedding", "qemb") / (F.col("nrm") * F.col("qnrm")))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -163,20 +163,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     """Approximate top-k: candidates from the bucket equi-join, exact
     cosine rerank within candidates. Same output schema as the brute
     path so recall is directly measurable."""
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("embedding"))
     udf = lsh_bucket_udf(seed)
-    b = e.select("vec_id", "embedding", F.explode(udf("embedding")).alias("bucket"))
+    b = e.select("vec_id", "embedding", "nrm", F.explode(udf("embedding")).alias("bucket"))
     qb = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"), "bucket"
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
     )
     cand = (
         b.join(F.broadcast(qb), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qemb", "vec_id", "embedding")
+        .select("qid", "qemb", "qnrm", "vec_id", "embedding", "nrm")
         .distinct()
     )
     sim = cand.withColumn(
-        "sim", _dot("embedding", "qemb") / (_norm("embedding") * _norm("qemb"))
+        "sim", _dot("embedding", "qemb") / (F.col("nrm") * F.col("qnrm"))
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -205,12 +208,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id < NEARDUP_SCOPE (exact all-pairs; the LSH bucket join of
     ann_lsh_topk is the same plan's scale path — candidates from one
     equi-join instead of the cross product)."""
-    e = _emb(spark, sf_dir).filter(F.col("vec_id") < NEARDUP_SCOPE)
-    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    e = _emb(spark, sf_dir).filter(F.col("vec_id") < NEARDUP_SCOPE).withColumn(
+        "nrm", _norm("embedding")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
     return (
         a.join(F.broadcast(b), F.col("va") < F.col("vb"))
-        .withColumn("sim", _dot("ea", "eb") / (_norm("ea") * _norm("eb")))
+        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
         .filter(F.col("sim") >= NEARDUP_THRESHOLD)
         .select(
             F.col("va").alias("doc_a"),

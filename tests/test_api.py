@@ -61,6 +61,24 @@ def test_get_docs_hits_is_matching_count(api, transcripts):
     assert out["hits"] == matching_docs(transcripts, spec).count()
 
 
+def test_count_hits_matches_matching_docs(spark, api, transcripts, index_dir):
+    """Engine-only totals (no text scan) must equal the brute doc-set
+    count, including the ES bool edge case: no musts → at least one
+    should (boost) term must match."""
+    from newsleak_spark.query.engine import count_hits
+
+    for spec in [
+        QuerySpec(terms=("merge", "window")),
+        QuerySpec(phrases=(("fast", "table"),)),
+        QuerySpec(terms=("table",), role_filter=("user",)),
+        QuerySpec(terms=(), boost_terms=("merge", "window")),  # should-only
+        QuerySpec(),  # match_all
+    ]:
+        got = count_hits(spark, index_dir, spec)
+        want = matching_docs(transcripts, spec).count()
+        assert got == want, (spec, got, want)
+
+
 def test_induce_subgraph_matches_operator_layer(api, transcripts):
     g = api.induce_subgraph(n_nodes=7)
     want_nodes = facets_mod.facet_counts(
