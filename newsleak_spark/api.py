@@ -20,10 +20,13 @@ finds the same request/response shapes here (citations into
 
 Request parsing reuses the F8 grammars (query_string with quoted
 phrases, 4-regex time ranges); the doc-set filter for aggregation
-endpoints is query/brute.matching_docs — the same bool-query semantics
-the reference applies to every aggregation request. Results are plain
-Python dicts (the JSON the controllers emit); every .collect() here is
-bounded by page/facet size, never by collection size.
+endpoints carries the same bool-query semantics the reference applies
+to every aggregation request — served from the index when one is built
+(engine.matching_doc_ids posting intersection + semi-join; no text
+re-tokenization) and by query/brute.matching_docs otherwise. Results
+are plain Python dicts (the JSON the controllers emit); every
+.collect() here is bounded by page/facet size, never by collection
+size.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ from newsleak_spark import facets as facets_mod
 from newsleak_spark.analysis import analyze, analyze_standard
 from newsleak_spark.curation import highlight_col
 from newsleak_spark.query.brute import bm25_topk, matching_docs
-from newsleak_spark.query.engine import count_hits, search
+from newsleak_spark.query.engine import count_hits, matching_doc_ids, search
 from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
 
 DEFAULT_PAGE_SIZE = 50  # DocumentController.scala:47
@@ -163,7 +166,7 @@ class NewsleakAPI:
         edge in ONE self-join job (vs the reference's O(n²) sequential
         include-filtered aggregations, NetworkService.scala:152-175)."""
         spec = compile_spec(query, time_range, mode=self.mode)
-        m = matching_docs(self.transcripts, spec, self.mode)
+        m = self._matching(spec)
         nodes = facets_mod.facet_counts(m, "tool", k=n_nodes).collect()
         node_vals = [r["value"] for r in nodes]
         edges = (
@@ -189,7 +192,7 @@ class NewsleakAPI:
     ) -> dict:
         """Dense date-histogram buckets at the LoD (decade|year|month|day)."""
         spec = compile_spec(query, time_range, mode=self.mode)
-        m = matching_docs(self.transcripts, spec, self.mode)
+        m = self._matching(spec)
         rows = facets_mod.date_histogram(m, lod).collect()
         key = "decade" if lod == "decade" else "bucket"
         return {
@@ -209,7 +212,7 @@ class NewsleakAPI:
         exclude: list[str] | None = None,
     ) -> dict:
         spec = compile_spec(query, time_range, mode=self.mode)
-        m = matching_docs(self.transcripts, spec, self.mode)
+        m = self._matching(spec)
         rows = facets_mod.facet_counts(m, facet_key, k=size, include=include, exclude=exclude).collect()
         return {
             "key": facet_key,
@@ -222,3 +225,12 @@ class NewsleakAPI:
         if self.index_dir is not None:
             return search(self.spark, self.index_dir, spec)
         return bm25_topk(self.transcripts, spec, mode=self.mode)
+
+    def _matching(self, spec: QuerySpec) -> DataFrame:
+        """Query-filtered doc set for aggregation endpoints. Indexed
+        path: posting-list intersection supplies the doc ids (no text
+        re-tokenization), semi-joined back for the facet columns."""
+        if self.index_dir is not None and (spec.all_scored_terms() or spec.boost_terms):
+            ids = matching_doc_ids(self.spark, self.index_dir, spec)
+            return self.transcripts.join(ids, "doc_id", "left_semi")
+        return matching_docs(self.transcripts, spec, self.mode)

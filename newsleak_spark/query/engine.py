@@ -561,14 +561,16 @@ def search(
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
 
-def count_hits(
+def matching_doc_ids(
     spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
-) -> int:
-    """Total matching-doc count (G9 / getTotalHits) from the INDEX
-    alone — same shard-local intersection/filter machinery as search()
-    with per-shard top-k truncation off, reduced to a count. Never
-    touches the text column (docmeta scans are column-pruned), unlike
-    a matching_docs() scan which re-tokenizes the collection."""
+) -> DataFrame:
+    """The UNTRUNCATED matching doc-id set from the INDEX alone — same
+    shard-local intersection/filter machinery as search() with the
+    per-shard top-k heap off. Never touches the text column (docmeta
+    scans are column-pruned), unlike a brute matching_docs() scan which
+    re-tokenizes the collection; this is the index-accelerated doc-set
+    feed for aggregation endpoints (facets/timeline/network over a
+    query-filtered corpus). Returns DataFrame(doc_id long)."""
     from newsleak_spark.session import ensure_workers_can_import
 
     ensure_workers_can_import(spark)
@@ -576,14 +578,14 @@ def count_hits(
     has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
 
     if not spec.all_scored_terms() and not spec.boost_terms:
-        return _apply_meta_filters(rd.docmeta(), spec).count()
+        return _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
 
     required = list(spec.all_scored_terms())
     boost = [t for t in spec.boost_terms if t not in required]
     all_terms = required + boost
     dict_rows = rd.dictionary_rows(all_terms)
     if any(t not in dict_rows for t in required):
-        return 0
+        return spark.createDataFrame([], "doc_id long")
     all_terms = [t for t in all_terms if t in dict_rows]
     metas = [
         TermMeta(
@@ -607,7 +609,14 @@ def count_hits(
         )
     else:
         cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
-    return cand.count()
+    return cand.select("doc_id")
+
+
+def count_hits(
+    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
+) -> int:
+    """Total matching-doc count (G9 / getTotalHits) from the index."""
+    return matching_doc_ids(spark, index_dir, spec, reader).count()
 
 
 def _apply_meta_filters(meta: DataFrame, spec: QuerySpec) -> DataFrame:
