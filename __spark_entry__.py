@@ -84,6 +84,7 @@ _ENGINE_SPECS = {
     "e1_engine_union": None,  # boost-only scored union → BMW path
 }
 _UNION_SPEC = QuerySpec(terms=(), boost_terms=("merge", "window"), k=20)
+_E4_SPEC = QuerySpec(terms=("table",), role_filter=("user", "assistant"))
 
 
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
@@ -150,6 +151,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e2_incremental_and"] = _inc_query
 
+    # index-accelerated aggregation path (engine.matching_doc_ids):
+    # facet + hit count over the doc set matching a query, doc ids from
+    # posting intersection (no text re-tokenization) — oracle is plain
+    # SQL over the same membership predicate
+    def _e4_engine_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from newsleak_spark.query.engine import matching_doc_ids
+
+        ids = matching_doc_ids(spark, _engine_index(spark, sf_dir), _E4_SPEC)
+        m = load_transcripts(spark, sf_dir).join(ids, "doc_id", "left_semi")
+        return facets.facet_counts(m, "role", k=50)
+
+    def _e5_engine_hit_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from newsleak_spark.query.engine import matching_doc_ids
+
+        ids = matching_doc_ids(spark, _engine_index(spark, sf_dir), _E4_SPEC)
+        return ids.agg(F.count("*").alias("n_hits"))
+
+    q["e4_engine_facet"] = _e4_engine_facet
+    q["e5_engine_hit_count"] = _e5_engine_hit_count
+
     q["g1_facet_role"] = _transcripts_q(lambda t: facets.facet_counts(t, "role", k=50))
     q["g1_facet_tool_include"] = _transcripts_q(
         lambda t: facets.facet_counts(t, "tool", k=50, include=["tool_0", "tool_1", "tool_99"])
@@ -200,6 +221,21 @@ def oracle_sql() -> dict[str, str]:
     for ename, ref in _ENGINE_SPECS.items():
         o[ename] = bm25_topk_oracle_sql(_SPECS[ref] if ref else _UNION_SPEC)
     o["e2_incremental_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
+
+    e4_where = (
+        "list_contains(regexp_extract_all(lower(text), "
+        f"'{STANDARD_TOKEN_RE}'), 'table') AND role IN ('user', 'assistant')"
+    )
+    o["e4_engine_facet"] = (
+        _PRELUDE
+        + f"m AS (SELECT role FROM transcripts WHERE {e4_where})\n"
+        + "SELECT role AS value, COUNT(*) AS n_docs FROM m GROUP BY role\n"
+        + "ORDER BY n_docs DESC, value ASC LIMIT 50"
+    )
+    o["e5_engine_hit_count"] = (
+        _PRELUDE.rstrip(",\n")
+        + f"\nSELECT COUNT(*) AS n_hits FROM transcripts WHERE {e4_where}"
+    )
 
     o["g1_facet_role"] = (
         _PRELUDE
