@@ -31,17 +31,32 @@ size.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from newsleak_spark import facets as facets_mod
-from newsleak_spark.analysis import analyze, analyze_standard
-from newsleak_spark.curation import highlight_col
+from newsleak_spark.analysis import analyze
 from newsleak_spark.query.brute import bm25_topk, matching_docs
 from newsleak_spark.query.engine import count_hits, matching_doc_ids, search
 from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
 
 DEFAULT_PAGE_SIZE = 50  # DocumentController.scala:47
+
+_WORD_RE = re.compile(r"[0-9A-Za-z][0-9A-Za-z'’]*")
+
+
+def _highlight_analyzed(text: str, targets: set[str], mode: str) -> str:
+    """Wrap every surface word whose ANALYZED form is a query term in
+    <em> tags — what the ES highlighter does by re-analyzing the field.
+    Bounded: only called on the page's returned bodies."""
+
+    def repl(m: "re.Match[str]") -> str:
+        toks = analyze(m.group(0), mode)
+        return f"<em>{m.group(0)}</em>" if toks and toks[0] in targets else m.group(0)
+
+    return _WORD_RE.sub(repl, text)
 
 
 def compile_spec(
@@ -98,18 +113,15 @@ class NewsleakAPI:
         Pagination = top-(page·size) then slice (T2: SearchHitIterator
         re-issues with from=consumed; one growing top-k is the
         distributed equivalent). Highlight: whole doc, <em> tags
-        (DocumentService.scala:406-418) — matched on the query's
-        SURFACE words (pre-stemming), since the ES highlighter matches
-        analyzed terms back to surface forms; the english-mode stem
-        'databas' would never regex-match 'databases' in raw text.
-        ``with_total``: on the indexed path the count comes from the
-        index alone (engine.count_hits, no text scan); brute fallback
-        pays one matching_docs scan."""
+        (DocumentService.scala:406-418) — ES-faithful ANALYZED-term
+        matching: a surface word is highlighted when its analyzed form
+        is a query term, so english-mode 'databases' highlights for the
+        stem query 'databas'. Runs driver-side over the <= page_size
+        returned bodies only. ``with_total``: on the indexed path the
+        count comes from the index alone (engine.count_hits, no text
+        scan); brute fallback pays one matching_docs scan."""
         spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
-        surface_terms, surface_phrases = parse_query_string(query, analyzer=analyze_standard)
-        surface_words = list(
-            dict.fromkeys(list(surface_terms) + [w for p in surface_phrases for w in p])
-        )
+        targets = set(spec.all_scored_terms())
         hits = self._topk(spec)
         rows = hits.collect()[(page - 1) * page_size :]
         ids = [r["doc_id"] for r in rows]
@@ -117,12 +129,6 @@ class NewsleakAPI:
         docs: list[dict] = []
         if ids:
             body = self.transcripts.filter(F.col("doc_id").isin(ids))
-            if highlight and surface_words:
-                body = body.withColumn(
-                    "highlighted", highlight_col(F.col("text"), surface_words)
-                )
-            else:
-                body = body.withColumn("highlighted", F.col("text"))
             by_id = {r["doc_id"]: r for r in body.collect()}
             for did in ids:  # preserve rank order
                 r = by_id.get(did)
@@ -135,7 +141,11 @@ class NewsleakAPI:
                         "id": did,
                         "score": scores[did],
                         "content": r["text"],
-                        "highlighted": r["highlighted"],
+                        "highlighted": (
+                            _highlight_analyzed(r["text"], targets, self.mode)
+                            if highlight and targets
+                            else r["text"]
+                        ),
                         "metadata": {
                             "conv_id": r["conv_id"],
                             "turn_idx": r["turn_idx"],

@@ -107,3 +107,52 @@ def ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Event-time windowed aggregation as a STREAM: readStream →
+    withWatermark → window groupBy → append-mode parquet sink.
+
+    The streaming twin of events.ev_window_agg — same F.window
+    operator, now stateful: the watermark bounds state (a window is
+    emitted/pruned once event time passes window_end + watermark, so
+    late rows inside the allowance still count and state never grows
+    unboundedly). Append output mode means exactly-once FINAL window
+    rows in the sink, the contract a downstream index/delta consumer
+    wants. Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).format("parquet").load(input_dir)
+    agg = (
+        stream.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .groupBy(F.window("_ts", window).alias("w"), key_col)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

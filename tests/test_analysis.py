@@ -135,3 +135,31 @@ def test_not_fulltext_flag():
     boiler = "tok " * 200
     assert is_not_fulltext(boiler)
     assert not is_not_fulltext("short normal sentence with words")
+
+
+# ---------------------------------------------------------------------------
+# Property: the standard analyzer (the oracle-parity mode) must agree
+# with DuckDB's regexp_extract_all(lower(s), '[a-z0-9]+') — the exact
+# expression every shared-SQL oracle uses — over the ASCII domain the
+# fixtures live in. (Full-unicode lowercasing legitimately differs
+# between Python and non-ICU DuckDB, e.g. dotted capital I; the oracle
+# contract is scoped to the testdata's ASCII token space.)
+# ---------------------------------------------------------------------------
+
+import duckdb as _duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=200
+)
+_con = _duckdb.connect()
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ASCII)
+def test_standard_analyzer_matches_duckdb(s):
+    want = _con.execute(
+        "SELECT regexp_extract_all(lower($s), '[a-z0-9]+')", {"s": s}
+    ).fetchone()[0]
+    assert analyze_standard(s) == want

@@ -111,6 +111,26 @@ def test_timeline_respects_time_range(api):
     assert all(b["key"] in ("2018", "2019") for b in tl["buckets"])
 
 
+def test_english_mode_highlight_surfaces_stems(spark):
+    """english mode: query 'tables' stems to 'tabl'; docs whose text
+    has only the surface form 'table' must STILL get <em> highlights
+    (analyzed-term matching, not surface-regex matching)."""
+    from newsleak_spark.transcripts import TRANSCRIPT_SCHEMA
+    import datetime as dt
+
+    rows = [
+        (1, "c1", 0, "user", "the table was merged fast", None, dt.datetime(2020, 1, 1)),
+        (2, "c1", 1, "user", "tables inside tables", None, dt.datetime(2020, 1, 2)),
+    ]
+    t = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    api = NewsleakAPI(spark, t, None, mode="english")
+    out = api.get_docs("tables", page_size=5, with_total=False)
+    by_id = {d["id"]: d for d in out["docs"]}
+    assert set(by_id) == {1, 2}
+    assert "<em>table</em>" in by_id[1]["highlighted"]
+    assert "<em>tables</em>" in by_id[2]["highlighted"]
+
+
 def test_aggregate_include_zero_fill(api):
     out = api.aggregate("tool", include=["tool_1", "zzz_never"])
     by_key = {b["key"]: b["docCount"] for b in out["buckets"]}
