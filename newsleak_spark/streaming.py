@@ -109,6 +109,126 @@ def ingest_stream(
     return writer.start()
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_OUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _session_fn(key, pdfs, state):
+    """Custom stateful operator (applyInPandasWithState): gap-based
+    sessionization. State = the user's OPEN session (start, last, n);
+    a batch's events extend/split it, closed sessions are emitted
+    immediately, and the open session is finalized by an EVENT-TIME
+    TIMEOUT once the watermark passes last_event + gap — the streaming
+    twin of events.ev_sessionize. Per-invocation work is one user's
+    micro-batch slice (small by construction); the cross-batch state
+    machine is what the batch lag/cumsum plan cannot express."""
+    import pandas as pd
+
+    (user_id,) = key
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype="int64"),
+            "session_start_us": pd.Series(dtype="int64"),
+            "session_end_us": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+        }
+    )
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start_us": [start],
+                "session_end_us": [last],
+                "n_events": [n],
+            }
+        )
+        return
+
+    import numpy as np
+
+    chunks = [
+        # datetime64[us] view is robust to pandas ns/us unit choice
+        pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        for pdf in pdfs
+        if len(pdf)
+    ]
+    us = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, dtype="int64")
+    start = last = None
+    n = 0
+    if state.exists:
+        start, last, n = state.get
+    closed = []
+    for t in us:
+        t = int(t)
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > SESSION_GAP_US:
+            closed.append((user_id, start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    if start is not None:
+        state.update((start, last, n))
+        # fire once the (event-time) watermark passes the gap horizon
+        state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
+    if closed:
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+    else:
+        yield empty
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming gap sessionization: readStream → withWatermark →
+    groupBy(user).applyInPandasWithState(EventTimeTimeout) → append
+    parquet sink. Sessions are exactly-once: closed-by-gap sessions
+    emit with the batch that splits them; the trailing open session
+    emits via event-time timeout when the watermark passes
+    last_event + gap."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     input_dir: str,
