@@ -292,6 +292,9 @@ def _run_scaling(n_turns: int) -> dict:
         f.write(json.dumps(out) + "\n")
     with open(SCALING_HISTORY) as f:
         runs = [json.loads(line) for line in f if line.strip()]
+    # only runs of the SAME configuration compete — a best-of across
+    # different n_turns would let an old 800k run mask a 2.4M request
+    runs = [r for r in runs if r.get("n_turns") == n_turns] or [out]
     best = max(runs, key=lambda r: r.get("efficiency", 0.0))
     best = {**best, "selected": f"best_raw_efficiency_of_{len(runs)}_runs (see scaling_history.jsonl)"}
     with open(SCALING_CACHE, "w") as f:

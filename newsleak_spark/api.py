@@ -53,8 +53,10 @@ def _highlight_analyzed(text: str, targets: set[str], mode: str) -> str:
     Bounded: only called on the page's returned bodies."""
 
     def repl(m: "re.Match[str]") -> str:
+        # any() not toks[0]: a surface word can analyze to several
+        # tokens ("o'brien" → ['o','brien']) and match on a later one
         toks = analyze(m.group(0), mode)
-        return f"<em>{m.group(0)}</em>" if toks and toks[0] in targets else m.group(0)
+        return f"<em>{m.group(0)}</em>" if any(t in targets for t in toks) else m.group(0)
 
     return _WORD_RE.sub(repl, text)
 

@@ -496,39 +496,28 @@ def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
     return rd
 
 
-def search(
-    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
-) -> DataFrame:
-    """Top-k search against a built index. Returns (doc_id, score_e6)."""
-    from newsleak_spark.session import ensure_workers_can_import
-
-    ensure_workers_can_import(spark)
-    rd = reader or _cached_reader(spark, index_dir)
-    has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
-
-    if not spec.all_scored_terms() and not spec.boost_terms:
-        # match_all / filters-only: no scoring, pinned score 1.0
-        out = _apply_meta_filters(rd.docmeta(), spec).select(
-            "doc_id", F.lit(1_000_000).cast("long").alias("score_e6")
-        )
-        return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
-
+def _candidates(
+    spark: SparkSession, rd: IndexReader, spec: QuerySpec, truncate: bool
+) -> DataFrame | None:
+    """Shared candidate pipeline of search() and matching_doc_ids():
+    dictionary lookup → segment scan (bucket-pruned) → shard-local
+    scoring applyInPandas (cogrouped with the filtered docmeta when
+    F2/F5 filters are present). ``truncate`` keeps the per-shard top-k
+    heap on (ranked search) or off (full doc-set). Returns None when a
+    required term is absent from the collection (AND → no hits)."""
     if spec.phrases and not rd.man.config.get("with_positions", True):
         raise ValueError(
-            f"index at {index_dir} was built with with_positions=False; "
+            f"index at {rd.index_dir} was built with with_positions=False; "
             "phrase queries need a positions-bearing index"
         )
-
+    has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
     required = list(spec.all_scored_terms())
     boost = [t for t in spec.boost_terms if t not in required]
     all_terms = required + boost
     dict_rows = rd.dictionary_rows(all_terms)
-
     if any(t not in dict_rows for t in required):
-        # a required term is absent from the collection → no hits (AND)
-        return spark.createDataFrame([], "doc_id long, score_e6 long")
+        return None
     all_terms = [t for t in all_terms if t in dict_rows]
-
     metas = [
         TermMeta(
             t,
@@ -538,25 +527,44 @@ def search(
         )
         for t in all_terms
     ]
-
     seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
-        metas, spec.phrases, rd.avgdl, spec.k, safe_bounds=rd.multi
+        metas, spec.phrases, rd.avgdl, spec.k, truncate=truncate, safe_bounds=rd.multi
     )
     if has_filters:
         # shard-local filtering: cogroup the shard's blocks with its
         # filter-surviving doc_ids (docmeta is shard-partitioned, so
-        # the filter scan prunes columns + pushes predicates) — the
-        # per-shard top-k heap stays on; only k rows leave each shard
+        # the filter scan prunes columns + pushes predicates); with
+        # truncate on, only k rows leave each shard
         meta = _apply_meta_filters(rd.docmeta(), spec).select("shard", "doc_id")
-        cand = (
+        return (
             seg.groupBy("shard")
             .cogroup(meta.groupBy("shard"))
             .applyInPandas(scorer.cogrouped, "doc_id long, score double")
         )
-    else:
-        cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
+    return seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
 
+
+def search(
+    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
+) -> DataFrame:
+    """Top-k search against a built index. Returns (doc_id, score_e6)."""
+    from newsleak_spark.session import ensure_workers_can_import
+
+    ensure_workers_can_import(spark)
+    rd = reader or _cached_reader(spark, index_dir)
+
+    if not spec.all_scored_terms() and not spec.boost_terms:
+        # match_all / filters-only: no scoring, pinned score 1.0
+        out = _apply_meta_filters(rd.docmeta(), spec).select(
+            "doc_id", F.lit(1_000_000).cast("long").alias("score_e6")
+        )
+        return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
+
+    cand = _candidates(spark, rd, spec, truncate=True)
+    if cand is None:
+        # a required term is absent from the collection → no hits (AND)
+        return spark.createDataFrame([], "doc_id long, score_e6 long")
     out = cand.select("doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
@@ -575,40 +583,13 @@ def matching_doc_ids(
 
     ensure_workers_can_import(spark)
     rd = reader or _cached_reader(spark, index_dir)
-    has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
 
     if not spec.all_scored_terms() and not spec.boost_terms:
         return _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
 
-    required = list(spec.all_scored_terms())
-    boost = [t for t in spec.boost_terms if t not in required]
-    all_terms = required + boost
-    dict_rows = rd.dictionary_rows(all_terms)
-    if any(t not in dict_rows for t in required):
+    cand = _candidates(spark, rd, spec, truncate=False)
+    if cand is None:
         return spark.createDataFrame([], "doc_id long")
-    all_terms = [t for t in all_terms if t in dict_rows]
-    metas = [
-        TermMeta(
-            t,
-            float(dict_rows[t][0]),
-            float(np.log(1.0 + (rd.n_docs - dict_rows[t][0] + 0.5) / (dict_rows[t][0] + 0.5))),
-            t in required,
-        )
-        for t in all_terms
-    ]
-    seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
-    scorer = _make_shard_scorer(
-        metas, spec.phrases, rd.avgdl, spec.k, truncate=False, safe_bounds=rd.multi
-    )
-    if has_filters:
-        meta = _apply_meta_filters(rd.docmeta(), spec).select("shard", "doc_id")
-        cand = (
-            seg.groupBy("shard")
-            .cogroup(meta.groupBy("shard"))
-            .applyInPandas(scorer.cogrouped, "doc_id long, score double")
-        )
-    else:
-        cand = seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
     return cand.select("doc_id")
 
 

@@ -114,44 +114,29 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 _SESSION_OUT_SCHEMA = (
     "user_id long, session_start_us long, session_end_us long, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+_SESSION_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _session_fn(key, pdfs, state):
     """Custom stateful operator (applyInPandasWithState): gap-based
-    sessionization. State = the user's OPEN session (start, last, n);
-    a batch's events extend/split it, closed sessions are emitted
-    immediately, and the open session is finalized by an EVENT-TIME
-    TIMEOUT once the watermark passes last_event + gap — the streaming
-    twin of events.ev_sessionize. Per-invocation work is one user's
-    micro-batch slice (small by construction); the cross-batch state
-    machine is what the batch lag/cumsum plan cannot express."""
+    sessionization, late-data-correct. State = ALL of the user's
+    unfinalized sessions as (start, last, n) intervals; each batch's
+    events enter as (t, t, 1) intervals and the sorted chain is merged
+    by the gap rule — an order-independent reduction, so a late event
+    inside the watermark allowance lands in (or bridges) the right
+    session regardless of arrival order. A session is emitted ONLY
+    when the watermark passes last + gap: no future event (all ≥
+    watermark) can merge into it, so emission is final — the streaming
+    twin of events.ev_sessionize, with the cross-batch state machine a
+    batch lag/cumsum plan cannot express."""
+    import numpy as np
     import pandas as pd
 
     (user_id,) = key
-    empty = pd.DataFrame(
-        {
-            "user_id": pd.Series(dtype="int64"),
-            "session_start_us": pd.Series(dtype="int64"),
-            "session_end_us": pd.Series(dtype="int64"),
-            "n_events": pd.Series(dtype="int64"),
-        }
-    )
-
-    if state.hasTimedOut:
-        start, last, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start_us": [start],
-                "session_end_us": [last],
-                "n_events": [n],
-            }
-        )
-        return
-
-    import numpy as np
+    sessions: list[tuple[int, int, int]] = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        sessions = [(int(s), int(l), int(n)) for s, l, n in zip(starts, lasts, ns)]
 
     chunks = [
         # datetime64[us] view is robust to pandas ns/us unit choice
@@ -159,31 +144,41 @@ def _session_fn(key, pdfs, state):
         for pdf in pdfs
         if len(pdf)
     ]
-    us = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, dtype="int64")
-    start = last = None
-    n = 0
-    if state.exists:
-        start, last, n = state.get
-    closed = []
-    for t in us:
-        t = int(t)
-        if start is None:
-            start, last, n = t, t, 1
-        elif t - last > SESSION_GAP_US:
-            closed.append((user_id, start, last, n))
-            start, last, n = t, t, 1
+    if chunks:
+        for t in np.concatenate(chunks):
+            sessions.append((int(t), int(t), 1))
+
+    sessions.sort()
+    merged: list[tuple[int, int, int]] = []
+    for s, l, n in sessions:
+        if merged and s - merged[-1][1] <= SESSION_GAP_US:
+            ps, pl, pn = merged[-1]
+            merged[-1] = (ps, max(pl, l), pn + n)
         else:
-            last, n = t, n + 1
-    if start is not None:
-        state.update((start, last, n))
-        # fire once the (event-time) watermark passes the gap horizon
-        state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
-    if closed:
-        yield pd.DataFrame(
-            closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+            merged.append((s, l, n))
+
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    done = [m for m in merged if m[1] + SESSION_GAP_US < wm_us]
+    keep = [m for m in merged if m[1] + SESSION_GAP_US >= wm_us]
+
+    if keep:
+        state.update(
+            ([m[0] for m in keep], [m[1] for m in keep], [m[2] for m in keep])
         )
-    else:
-        yield empty
+        horizon_ms = (min(m[1] for m in keep) + SESSION_GAP_US) // 1000
+        state.setTimeoutTimestamp(max(horizon_ms + 1, state.getCurrentWatermarkMs() + 1))
+    elif state.exists:
+        state.remove()
+
+    done.sort()
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(done), dtype="int64"),
+            "session_start_us": pd.Series([m[0] for m in done], dtype="int64"),
+            "session_end_us": pd.Series([m[1] for m in done], dtype="int64"),
+            "n_events": pd.Series([m[2] for m in done], dtype="int64"),
+        }
+    )
 
 
 def sessionize_stream(
@@ -192,6 +187,8 @@ def sessionize_stream(
     output_dir: str,
     checkpoint_dir: str,
     schema,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
     watermark: str = "2 hours",
     available_now: bool = True,
 ):
@@ -208,7 +205,8 @@ def sessionize_stream(
         spark.readStream.schema(schema)
         .format("parquet")
         .load(input_dir)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts", F.col(ts_col).cast("timestamp"))
+        .withColumn("user_id", F.col(user_col).cast("long"))
         .withWatermark("ts", watermark)
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(

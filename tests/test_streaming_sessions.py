@@ -94,6 +94,37 @@ def test_stateful_sessionization(spark, tmp_path):
     assert rows == want, (sorted(rows), sorted(want))
 
 
+def test_stateful_sessionization_late_event_bridges(spark, tmp_path):
+    """A LATE event (inside the watermark allowance) arriving a batch
+    after its neighbors must land in — and here BRIDGE — the correct
+    sessions: [0,10] and [50,60] plus a late 30 are ONE session. The
+    interval-merge state machine is order-independent; an open-session
+    scalar state would move its boundary backwards and split wrongly."""
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run():
+        q = sessionize_stream(
+            spark, in_dir, out_dir, ckpt, SCHEMA, watermark="40 minutes"
+        )
+        q.awaitTermination()
+
+    _mk(spark, [(0, 1), (10, 1), (50, 1), (60, 1)]).write.mode("append").parquet(in_dir)
+    run()
+    _mk(spark, [(30, 1)]).write.mode("append").parquet(in_dir)  # late, >= watermark (20)
+    run()
+    _mk(spark, [(10_000, 99)]).write.mode("append").parquet(in_dir)  # flush
+    run()
+    got = spark.read.schema(OUT_SCHEMA).parquet(out_dir)
+    rows = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in got.collect()
+    }
+    assert len(rows) == got.count()
+    want = _batch_sessions([(0, 1), (10, 1), (50, 1), (60, 1), (30, 1)])
+    assert rows == want, (sorted(rows), sorted(want))
+    assert len(want) == 1  # the bridge collapsed everything into one session
+
+
 def test_stateful_sessionization_resume_idempotent(spark, tmp_path):
     """Re-running the drained stream with the same checkpoint emits
     nothing new (no reprocessing, state intact)."""
