@@ -110,6 +110,24 @@ def test_dedup_plans_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_event_window_agg_partial(spark):
+    """Tumbling-window agg must map-side combine and stay join-free."""
+    from newsleak_spark import events
+
+    plan = plan_of(events.ev_window_agg(spark, "/root/testdata/sf0.01"), "simple")
+    assert "partial_count" in plan and "Join" not in plan, plan
+
+
+def test_a10_single_scan_broadcast_only(spark):
+    """A10's tagged one-pass extraction: the only join is the broadcast
+    unigram dict — no sort-merge join, no cartesian."""
+    from newsleak_spark import curation
+
+    plan = plan_of(curation.a10_dict_extract(spark, "/root/testdata/sf0.01"))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_filtered_search_docmeta_pushdown(spark, index_dir):
     """F2 filters reach the docmeta parquet scan as pushed predicates
     (shard-local cogroup path)."""
