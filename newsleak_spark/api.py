@@ -123,7 +123,9 @@ class NewsleakAPI:
         count comes from the index alone (engine.count_hits, no text
         scan); brute fallback pays one matching_docs scan."""
         spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
-        targets = set(spec.all_scored_terms())
+        # boost (should) terms highlight too — the ES highlighter wraps
+        # every query term incl. should clauses (DocumentService.scala:406-418)
+        targets = set(spec.all_scored_terms()) | set(spec.boost_terms)
         hits = self._topk(spec)
         rows = hits.collect()[(page - 1) * page_size :]
         ids = [r["doc_id"] for r in rows]

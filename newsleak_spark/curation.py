@@ -602,9 +602,12 @@ def oracle_sql() -> dict[str, str]:
         _PRELUDE
         + f"d AS (SELECT list_contains({_TOKS_SQL}, 'merge') AS a,\n"
         + f"             list_contains({_TOKS_SQL}, 'window') AS b FROM transcripts)\n"
-        + "SELECT SUM(CAST(a AND b AS BIGINT)) AS n_and,\n"
-        + "       SUM(CAST(a OR b AS BIGINT)) AS n_or,\n"
-        + "       SUM(CAST(a AND NOT b AS BIGINT)) AS n_a_not_b FROM d"
+        # outer CASTs: DuckDB's SUM(BIGINT) returns HUGEINT, which
+        # hash-mismatches Spark's bigint at the driver even though the
+        # values are equal (round-1 gate failure)
+        + "SELECT CAST(SUM(CAST(a AND b AS BIGINT)) AS BIGINT) AS n_and,\n"
+        + "       CAST(SUM(CAST(a OR b AS BIGINT)) AS BIGINT) AS n_or,\n"
+        + "       CAST(SUM(CAST(a AND NOT b AS BIGINT)) AS BIGINT) AS n_a_not_b FROM d"
     )
     o["j1_tags_labels"] = (
         _PRELUDE

@@ -46,7 +46,11 @@ def ev_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value") * 100).cast("long").alias("value_e2"),
+            # quantize per ROW, then sum integers: float partial-agg
+            # order differs between Spark and DuckDB, so a double sum
+            # within an ulp of a .5 boundary can round differently —
+            # an integer sum is associative and exact in both engines
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_e2"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH").alias("hour"),
@@ -128,7 +132,7 @@ def oracle_sql() -> dict[str, str]:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
        event_type,
        COUNT(*) AS n_events,
-       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_e2
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_e2
 FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
         "ev_sessionize": f"""
 WITH e AS (
@@ -142,10 +146,10 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, us,
-         SUM(new_sess + first_in_part) OVER (
+         CAST(SUM(new_sess + first_in_part) OVER (
            PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-         ) AS session_id
+         ) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -154,7 +158,8 @@ FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
         "ev_json_props": """
 SELECT event_type,
        COUNT(k) AS n_with_k,
-       MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events

@@ -3,8 +3,10 @@
 Two paths:
   * ``ann_cosine_topk`` — exact brute-force cosine top-k, the baseline.
     Dot/norm fold in array form inside whole-stage codegen
-    (zip_with + aggregate over array<double>) — pure JVM arithmetic,
-    reproduced by the DuckDB oracle's positional-join double math.
+    (zip_with + aggregate over array<double>). The DuckDB oracle sums
+    the same doubles in an unspecified order, so raw sims can differ
+    at ulp level; BOTH engines therefore rank on the quantized
+    ``sim_e4`` (with vec_id tiebreak), making rank order exact.
   * ``ann_lsh_buckets`` / ``ann_lsh_topk`` — the 100TB scale path:
     seed-pinned random-hyperplane LSH (vectorized numpy over Arrow
     batches) buckets vectors; candidates come from ONE equi-join on
@@ -73,15 +75,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .withColumn("sim", _dot("embedding", "qemb") / (F.col("nrm") * F.col("qnrm")))
+        # rank on the QUANTIZED similarity (e4) with vec_id tiebreak:
+        # raw doubles differ by summation order between engines, so
+        # near-tied neighbors could flip ranks at ulp level
+        .withColumn("sim_e4", F.round(F.col("sim") * 10000).cast("long"))
     )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    w = W.partitionBy("qid").orderBy(F.desc("sim_e4"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             F.col("qid").cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+            "sim_e4",
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("query_id", "rank")
@@ -108,13 +114,16 @@ sims AS (
   JOIN norms n ON n.vec_id = d.vec_id
   JOIN norms qn ON qn.vec_id = d.qid
 ),
+quant AS (
+  SELECT qid, vec_id, CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4 FROM sims
+),
 ranked AS (
-  SELECT qid, vec_id, sim,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rank
-  FROM sims
+  SELECT qid, vec_id, sim_e4,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, vec_id ASC) AS rank
+  FROM quant
 )
 SELECT CAST(qid AS BIGINT) AS query_id, vec_id AS neighbor_id,
-       CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4, CAST(rank AS BIGINT) AS rank
+       sim_e4, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank"""
 
@@ -180,15 +189,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     )
     sim = cand.withColumn(
         "sim", _dot("embedding", "qemb") / (F.col("nrm") * F.col("qnrm"))
-    )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ).withColumn("sim_e4", F.round(F.col("sim") * 10000).cast("long"))
+    # quantized rank, same rationale as ann_cosine_topk
+    w = W.partitionBy("qid").orderBy(F.desc("sim_e4"), F.asc("vec_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
             F.col("qid").cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+            "sim_e4",
             F.col("rank").cast("long").alias("rank"),
         )
         .orderBy("query_id", "rank")
@@ -220,11 +230,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(F.broadcast(b), F.col("va") < F.col("vb"))
         .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("sim") >= NEARDUP_THRESHOLD)
+        .withColumn("sim_e4", F.round(F.col("sim") * 10000).cast("long"))
+        # threshold on the QUANTIZED sim so an ulp of summation-order
+        # difference at the boundary can't flip pair membership
+        .filter(F.col("sim_e4") >= int(NEARDUP_THRESHOLD * 10000))
         .select(
             F.col("va").alias("doc_a"),
             F.col("vb").alias("doc_b"),
-            F.round(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+            "sim_e4",
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -246,9 +259,12 @@ dots AS (
 sims AS (
   SELECT va, vb, dot / (na.nrm * nb.nrm) AS sim
   FROM dots JOIN norms na ON na.vec_id = va JOIN norms nb ON nb.vec_id = vb
+),
+quant AS (
+  SELECT va, vb, CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4 FROM sims
 )
-SELECT va AS doc_a, vb AS doc_b, CAST(ROUND(sim * 10000) AS BIGINT) AS sim_e4
-FROM sims WHERE sim >= {NEARDUP_THRESHOLD}
+SELECT va AS doc_a, vb AS doc_b, sim_e4
+FROM quant WHERE sim_e4 >= {int(NEARDUP_THRESHOLD * 10000)}
 ORDER BY doc_a, doc_b"""
 
 

@@ -19,6 +19,37 @@ from newsleak_spark.session import get_spark  # noqa: E402
 from newsleak_spark.transcripts import TABLES  # noqa: E402
 
 
+_DUCK2SPARK = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "DOUBLE": "double", "FLOAT": "float",
+    "VARCHAR": "string", "DATE": "date", "BOOLEAN": "boolean",
+}
+
+
+def _duck_type(t) -> str:
+    s = str(t).upper()
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    return _DUCK2SPARK.get(s, s.lower())
+
+
+def _spark_type(t: str) -> str:
+    return "timestamp" if t.startswith("timestamp") else t
+
+
+def type_mismatches(scols, sdtypes, dcols, dtypes):
+    """Result-TYPE mismatches (e.g. DuckDB HUGEINT vs Spark bigint).
+
+    Normalized python values compare equal, but the driver's value hash
+    is type-sensitive — round 1's u_set_algebra failed exactly this way.
+    Catch it locally by comparing column types by (sorted) name."""
+    sm = {c: _spark_type(t) for c, t in zip(scols, sdtypes)}
+    dm = {c: _duck_type(t) for c, t in zip(dcols, dtypes)}
+    return [
+        (c, sm[c], dm[c]) for c in sorted(set(sm) & set(dm)) if sm[c] != dm[c]
+    ]
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -68,6 +99,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = [d[0] for d in rel.description]
+            dtypes = list(rel.types)
             drows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb raised")
@@ -76,7 +108,11 @@ def main():
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
-        if sc != dc:
+        badtypes = type_mismatches(scols, [t for _, t in sdf.dtypes], dcols, dtypes)
+        if badtypes:
+            print(f"FAIL {name}: result types differ (spark vs duckdb): {badtypes}")
+            n_fail += 1
+        elif sc != dc:
             print(f"FAIL {name}: columns {sc} != {dc}")
             n_fail += 1
         elif len(sr) != len(dr):
