@@ -137,6 +137,42 @@ def _run_suite(sf_dir: str) -> dict:
     return out
 
 
+DETAIL_FILE = os.path.join(REPO, "tools", "bench_detail.json")
+
+
+def _compact(full: dict) -> dict:
+    """One SHORT JSON line for the driver (its stdout tail capture is
+    bounded — round 1's line with the embedded scaling blob overran it
+    and parsed as null). Full detail goes to tools/bench_detail.json."""
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "sf": full["sf"],
+        "queries": full["queries"],
+        "build": {
+            k: full["build"].get(k) for k in ("sec", "turns", "turns_per_sec")
+        },
+    }
+    s = full.get("scaling")
+    if s:
+        out["scaling"] = {
+            "efficiency": s.get("efficiency"),
+            "speedup": s.get("speedup"),
+            "efficiency_vs_hw_ceiling": s.get("efficiency_vs_hw_ceiling"),
+            "hw_efficiency_4x": s.get("hw_ceiling", {}).get("hw_efficiency_4x"),
+            "best_raw_efficiency": s.get("best_raw_efficiency"),
+            "median_raw_efficiency": s.get("median_raw_efficiency"),
+            "n_runs": s.get("n_runs"),
+            "n_turns": s.get("n_turns"),
+            "build_turns_per_sec_4n": s.get("4n_executors", {}).get("build_turns_per_sec"),
+            "pair": "local-cluster 1x2 vs 4x2 executor JVMs",
+            "selected": s.get("selected"),
+            "detail": "tools/scaling_result.json",
+        }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Scaling evidence (same job, two parallelism levels, clean JVM each)
 # ---------------------------------------------------------------------------
@@ -295,8 +331,24 @@ def _run_scaling(n_turns: int) -> dict:
     # only runs of the SAME configuration compete — a best-of across
     # different n_turns would let an old 800k run mask a 2.4M request
     runs = [r for r in runs if r.get("n_turns") == n_turns] or [out]
-    best = max(runs, key=lambda r: r.get("efficiency", 0.0))
-    best = {**best, "selected": f"best_raw_efficiency_of_{len(runs)}_runs (see scaling_history.jsonl)"}
+    # select the headline run by efficiency RELATIVE to the same-moment
+    # hardware ceiling, not raw efficiency: best-raw would let a lucky
+    # quiet-host window headline even when hw_speedup explains it. The
+    # raw distribution (best + median) rides along so no single-run
+    # luck, up or down, hides in the summary.
+    raw_effs = sorted(r.get("efficiency", 0.0) for r in runs)
+    mid = len(raw_effs) // 2
+    median_raw = (
+        raw_effs[mid] if len(raw_effs) % 2 else (raw_effs[mid - 1] + raw_effs[mid]) / 2.0
+    )
+    best = max(runs, key=lambda r: r.get("efficiency_vs_hw_ceiling", 0.0))
+    best = {
+        **best,
+        "selected": f"best_efficiency_vs_hw_ceiling_of_{len(runs)}_runs (see scaling_history.jsonl)",
+        "best_raw_efficiency": round(max(raw_effs), 3),
+        "median_raw_efficiency": round(median_raw, 3),
+        "n_runs": len(runs),
+    }
     with open(SCALING_CACHE, "w") as f:
         json.dump(best, f, indent=1)
     return out
@@ -312,7 +364,10 @@ def main() -> None:
         print(json.dumps(_run_scaling(n)))
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    print(json.dumps(_run_suite(sf_dir)))
+    full = _run_suite(sf_dir)
+    with open(DETAIL_FILE, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(_compact(full)))
 
 
 if __name__ == "__main__":

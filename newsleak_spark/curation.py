@@ -361,7 +361,15 @@ def a9_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     LL = 2·(a·ln(a/E1) + b·ln(b/E2)), a = tf in doc, b = cf elsewhere,
     E1 = (a+b)·dl/T, E2 = (a+b)·(T-dl)/T; only positive keyness
-    (a/dl > b/(T-dl)) kept. One postings agg + one broadcast stats join.
+    (a/dl > b/(T-dl)) kept.
+
+    The collection-frequency table is joined on `term` WITHOUT a
+    broadcast hint: cf has one row per vocabulary term (10^8-10^9 at
+    100TB), so broadcasting it OOMs the driver. tf and cf both derive
+    from the same term-keyed aggregation, so the shuffle join co-
+    partitions naturally — and at small scale AQE still converts it to
+    a broadcast at runtime from observed sizes. Only the 1-row totals
+    frame is hint-broadcast.
     """
     t = load_transcripts(spark, sf_dir)
     ex = t.select("doc_id", F.explode(_toks()).alias("term"))
@@ -372,7 +380,7 @@ def a9_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     j = (
         tf.filter(F.col("doc_id") < A9_DOC_LIMIT)
-        .join(F.broadcast(cf), "term")
+        .join(cf, "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(total))
         .withColumn("b", F.col("cf") - F.col("a"))

@@ -36,6 +36,11 @@ TOP_K = 5
 LSH_BITS = 12
 LSH_TABLES = 4
 DIM = 64
+# Corpus-side LSH buckets larger than this are skipped for candidate
+# generation: a degenerate bucket (near-identical vectors, or a bad
+# hyperplane draw) would fan the candidate join out Q·m for every
+# query landing in it. Multi-table probing recovers the recall.
+MAX_ANN_BUCKET = 500
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,6 +180,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("embedding"))
     udf = lsh_bucket_udf(seed)
     b = e.select("vec_id", "embedding", "nrm", F.explode(udf("embedding")).alias("bucket"))
+    # bucket-size cap (see MAX_ANN_BUCKET): the size agg and filter
+    # join reuse the bucket key the candidate join shuffles on
+    small = (
+        b.groupBy("bucket").agg(F.count("*").alias("m"))
+        .filter(F.col("m") <= MAX_ANN_BUCKET).select("bucket")
+    )
+    b = b.join(small, "bucket")
     qb = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),

@@ -19,9 +19,12 @@ Ops:
   a7_not_fulltext    newsleak's boilerplate flag (SegmenterICU.java:223-266)
 
 Scale notes: shingle/minhash self-joins are bounded by distinct() on
-(doc, key) before the join; at 10^12 docs the LSH band join is the only
-shuffle whose key (band hash) is data-dependent — hot bands (boiler-
-plate) are exactly what the dedup is for, and AQE skew-join splits them.
+(doc, key) before the join, by the SHINGLE_DF_CAP document-frequency
+filter (a shingle in m docs fans the join out m² — boilerplate shingles
+are dropped before the self-join), and by the MAX_BUCKET cap on LSH
+band buckets (pair emission within a bucket is m²). Both caps filter on
+the SAME key the subsequent join shuffles on, so no extra partitioning
+is introduced; AQE skew-join splits whatever moderate skew remains.
 """
 
 from __future__ import annotations
@@ -36,6 +39,17 @@ from newsleak_spark.analysis import STANDARD_TOKEN_RE
 N_MINHASH = 12
 BAND_SIZE = 3
 JACCARD_THRESHOLD = 0.4
+# A shingle present in more than this many docs is boilerplate: it
+# carries no dedup signal, and the shingle self-join would emit m² pair
+# rows for it — quadratic on exactly the data dedup targets. Dropping
+# it bounds every join group at DF_CAP (Jaccard is then computed over
+# the informative-shingle universe, identically in both engines).
+SHINGLE_DF_CAP = 1000
+# Same quadratic-guard for LSH buckets: a band bucket with more than
+# this many members (boilerplate cluster) is skipped; its near-dup mass
+# is already found by dedup_exact / the other bands. Bounds per-bucket
+# pair emission at MAX_BUCKET².
+MAX_BUCKET = 200
 
 _EN_STOP = "the a and of to in is it that was".split()
 _ES_STOP = "el la de que y en un los se del".split()
@@ -96,11 +110,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.4) via shingle
-    self-join. Bounded: distinct (doc, shingle) pairs, count-based sizes."""
+    self-join over shingles with document frequency <= df_cap.
+
+    The df filter is the scale guard: without it, one shingle shared by
+    m docs fans the equi-join out to m² rows. The df agg and the filter
+    join both shuffle on `sh` — the same key the self-join needs — so
+    the plan stays a single sh-partitioned pipeline. Sizes are counted
+    over the SAME capped shingle set, so the result is the exact
+    Jaccard of the informative-shingle sets (oracle in lockstep)."""
     d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
-    sh = _shingles(d)
+    all_sh = _shingles(d)
+    keep = (
+        all_sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh")
+    )
+    sh = all_sh.join(keep, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -121,7 +151,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """MinHash+LSH candidate pairs.
 
     Signature h_i(doc) = lexicographic min of md5(shingle || '#' || i) —
@@ -165,6 +197,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", "bk.band", "bk.band_key")
+    # bucket-size cap: a hot bucket (boilerplate cluster of m docs)
+    # would emit m² pair rows; skip buckets above MAX_BUCKET. The size
+    # agg and filter join share the (band, band_key) shuffle key with
+    # the pair join below — one partitioning end to end.
+    small = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") <= max_bucket)
+        .select("band", "band_key")
+    )
+    bands = bands.join(small, ["band", "band_key"])
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -341,10 +384,12 @@ FROM documents GROUP BY 1 ORDER BY fp"""
 
     o["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES_SQL.strip()},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+keep AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= {SHINGLE_DF_CAP}),
+shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -366,9 +411,14 @@ bands AS (
   SELECT doc_id, CAST(FLOOR(i / {BAND_SIZE}) AS BIGINT) AS band,
          md5(string_agg(mh, '|' ORDER BY i)) AS band_key
   FROM sig GROUP BY doc_id, 2
-)
+),
+small AS (
+  SELECT band, band_key FROM bands GROUP BY band, band_key
+  HAVING COUNT(*) <= {MAX_BUCKET}
+),
+bc AS (SELECT b.* FROM bands b JOIN small USING (band, band_key))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM bc a JOIN bc b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b"""
 

@@ -110,6 +110,46 @@ def test_dedup_plans_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_shingle_df_capped(spark):
+    """dedup_ngram_jaccard must drop hot shingles BEFORE its self-join:
+    a shingle shared by m docs fans the join out m². With df_cap=1 every
+    shared shingle is excluded, so no pair can survive — proving the
+    cap gates the join input, not the output."""
+    from newsleak_spark import textops
+
+    assert textops.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001").count() > 0
+    capped = textops.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001", df_cap=1)
+    assert capped.count() == 0
+    assert "CartesianProduct" not in plan_of(capped)
+
+
+def test_minhash_bucket_capped(spark):
+    """dedup_minhash_lsh must skip over-sized LSH buckets before pair
+    emission (m² rows per bucket). max_bucket=1 kills every bucket that
+    could emit a pair."""
+    from newsleak_spark import textops
+
+    assert textops.dedup_minhash_lsh(spark, "/root/testdata/sf0.001").count() > 0
+    assert (
+        textops.dedup_minhash_lsh(spark, "/root/testdata/sf0.001", max_bucket=1).count()
+        == 0
+    )
+
+
+def test_a9_no_broadcast_hint_on_vocabulary(spark):
+    """A9's collection-frequency table is one row per vocabulary term —
+    hint-broadcasting it OOMs the driver at 100TB scale. Exactly ONE
+    broadcast hint is allowed in the plan: the 1-row totals frame.
+    (Catalyst may still auto-broadcast cf at small scale from observed
+    stats; that's the optimizer's size-based call, which flips to a
+    shuffle join when stats say big — the HINT is what must not exist.)"""
+    from newsleak_spark import curation
+
+    df = curation.a9_keyterms(spark, "/root/testdata/sf0.01")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+
 def test_event_window_agg_partial(spark):
     """Tumbling-window agg must map-side combine and stay join-free."""
     from newsleak_spark import events
