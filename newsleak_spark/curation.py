@@ -6,6 +6,8 @@ built from the same shared transcripts derivation:
 
   F3  entity-id conjunction filter   ESRequestUtils.scala:339-343
   F4  keyword conjunction filter     ESRequestUtils.scala:345-349
+  F6  time-expression range filter   ESRequestUtils.scala:355-362
+  A4  paragraph split                SegmenterICU.java:194-212
   F9  doc-id + multi-field filter    ESRequestUtils.scala:110-128
   F10 match query (single field)     ESRequestUtils.scala:90-108
   F11 blacklist + merge post-filters EntityService.scala:274-305,351-373
@@ -109,6 +111,62 @@ def f4_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = F.array_contains(_toks(), kw)
         pred = c if pred is None else (pred & c)
     return t.filter(pred).select("doc_id").orderBy("doc_id")
+
+
+# F6 time-expression range filter (ESRequestUtils.scala:355-362): the
+# reference filters on simple_time_expressions — normalized dates A11's
+# temporal tagger extracted from the TEXT, stored as a per-doc date
+# array, with exists(dates, d BETWEEN from AND to) semantics. A11
+# itself is out of scope (SURVEY §7.4) and the fixture text carries no
+# date strings, so the normalized date-array column is DERIVED by a
+# deterministic shared rule (same mechanism as the J1/J3 side tables):
+# doc_id % 3 + 1 dates spread over 2018-2021. The FILTER is the
+# faithful part — an array-typed date column probed with exists().
+F6_FROM, F6_TO = "2019-01-01", "2019-06-30"
+_TIMEX_SPARK = (
+    "transform(sequence(1, CAST(doc_id % 3 + 1 AS INT)), "
+    "k -> date_add(DATE'2018-01-01', CAST((doc_id * 7 + k * 97) % 1460 AS INT)))"
+)
+_TIMEX_DUCK = (
+    "list_transform(generate_series(1, CAST(doc_id % 3 + 1 AS INT)), "
+    "k -> DATE '2018-01-01' + CAST((doc_id * 7 + k * 97) % 1460 AS INT))"
+)
+
+
+def f6_timex_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: docs whose time-expression array has a date in [from, to].
+    Row-local exists() over the array — no explode, no shuffle; the
+    filter runs inside whole-stage codegen right after the scan."""
+    t = load_transcripts(spark, sf_dir).withColumn("timex", F.expr(_TIMEX_SPARK))
+    hit = F.expr(f"exists(timex, d -> d BETWEEN DATE'{F6_FROM}' AND DATE'{F6_TO}')")
+    return (
+        t.filter(hit)
+        .select("doc_id", F.size("timex").cast("long").alias("n_timex"))
+        .orderBy("doc_id")
+    )
+
+
+def split_paragraphs(t: DataFrame) -> DataFrame:
+    """A4 paragraph split (SegmenterICU.java:194-212): split each doc's
+    text at newline runs into (doc_id, par_idx, par) rows with stable
+    ordinals. Row-local posexplode — no shuffle, parallelism follows
+    the doc partitioning."""
+    return t.select(
+        "doc_id", F.posexplode(F.split("text", "\\n+")).alias("par_idx", "par")
+    )
+
+
+def a4_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 gate entry: paragraph ordinals + lengths for doc_id < 200.
+    Transcript turns rarely contain newlines (usually 1 paragraph per
+    turn); the multi-paragraph behavior is unit-tested on synthetic
+    text (tests/test_analysis.py)."""
+    t = load_transcripts(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return split_paragraphs(t).select(
+        "doc_id",
+        F.col("par_idx").cast("long").alias("par_idx"),
+        F.length("par").cast("long").alias("n_chars"),
+    ).orderBy("doc_id", "par_idx")
 
 
 def f10_match_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "f3_entity_filter": f3_entity_filter,
         "f4_keyword_filter": f4_keyword_filter,
+        "f6_timex_range": f6_timex_range,
+        "a4_paragraphs": a4_paragraphs,
         "f9_docs_multifield": f9_docs_multifield,
         "f10_match_tool": f10_match_tool,
         "f11_blacklist_merge_facet": f11_blacklist_merge_facet,
@@ -556,6 +616,22 @@ def oracle_sql() -> dict[str, str]:
     o["f4_keyword_filter"] = (
         _PRELUDE.rstrip(",\n")
         + f"\nSELECT doc_id FROM transcripts WHERE {kw_conds} ORDER BY doc_id"
+    )
+    o["f6_timex_range"] = (
+        _PRELUDE
+        + f"tx AS (SELECT doc_id, {_TIMEX_DUCK} AS timex FROM transcripts)\n"
+        + "SELECT doc_id, CAST(len(timex) AS BIGINT) AS n_timex FROM tx\n"
+        + f"WHERE len(list_filter(timex, d -> d BETWEEN DATE '{F6_FROM}' AND DATE '{F6_TO}')) > 0\n"
+        + "ORDER BY doc_id"
+    )
+    o["a4_paragraphs"] = (
+        _PRELUDE
+        + "p AS (SELECT doc_id, string_split_regex(text, '\\n+') AS pars\n"
+        + "      FROM transcripts WHERE doc_id < 200)\n"
+        + "SELECT doc_id, CAST(i AS BIGINT) AS par_idx,\n"
+        + "       CAST(len(pars[i + 1]) AS BIGINT) AS n_chars\n"
+        + "FROM p, UNNEST(range(len(pars))) AS u(i)\n"
+        + "ORDER BY doc_id, par_idx"
     )
     ids = ", ".join(str(i) for i in range(0, 200, 3))
     o["f9_docs_multifield"] = (

@@ -163,3 +163,25 @@ def test_standard_analyzer_matches_duckdb(s):
         "SELECT regexp_extract_all(lower($s), '[a-z0-9]+')", {"s": s}
     ).fetchone()[0]
     assert analyze_standard(s) == want
+
+
+# ---------------------------------------------------------------------------
+# A4 paragraph split (curation.split_paragraphs) — the fixture text has
+# no newlines, so the multi-paragraph behavior is pinned here.
+# ---------------------------------------------------------------------------
+
+def test_split_paragraphs_newline_runs(spark):
+    from newsleak_spark.curation import split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "first para\nsecond para\n\n\nthird"), (2, "single")],
+        "doc_id long, text string",
+    )
+    rows = split_paragraphs(df).orderBy("doc_id", "par_idx").collect()
+    got = [(r["doc_id"], r["par_idx"], r["par"]) for r in rows]
+    assert got == [
+        (1, 0, "first para"),
+        (1, 1, "second para"),
+        (1, 2, "third"),
+        (2, 0, "single"),
+    ]
