@@ -35,6 +35,18 @@ from newsleak_spark.query.spec import QuerySpec
 K1 = 1.2
 B = 0.75
 
+# BMW union decode policy (see _bmw_union): terms with at most this
+# many blocks pre-decode in one vectorized pass and use posting-level
+# chunk bounds; bigger terms stay byte-encoded until a chunk survives
+# θ, switching to a full decode once 1/BMW_LAZY_SWITCH_DEN of their
+# blocks were demanded (low observed skip rate).
+BMW_SMALL_TERM_BLOCKS = 64
+BMW_LAZY_SWITCH_DEN = 8
+# If NO chunk was skipped in the first this-many scored rounds, the
+# union is dense (every chunk beats θ) and laziness can never pay —
+# hot terms then full-decode on first demand instead of per-chunk.
+BMW_LAZY_PROBE_ROUNDS = 8
+
 
 @dataclass
 class TermMeta:
@@ -170,6 +182,28 @@ def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
     else:
         pos = None
     return docs, tfs, dls, pos
+
+
+def _decode_blocks_lazy(state: dict, idxs: list[int]) -> None:
+    """Decode the not-yet-cached blocks ``idxs`` of one term's lazy
+    state in ONE varint pass per column (their byte slices are self-
+    delimiting, so they batch-concatenate like _decode_term_blocks) and
+    cache each block's (docs, tfs, dls). Doc deltas reset to absolute
+    at every block start."""
+    ns = state["ns"][idxs]
+    starts = np.concatenate(([0], np.cumsum(ns)))
+    deltas = varint_decode(b"".join(state["docs_b"][i] for i in idxs)).astype(np.int64)
+    c = np.cumsum(deltas)
+    heads = starts[:-1][ns > 0]
+    base = np.zeros(ns.size, dtype=np.int64)
+    base[ns > 0] = c[heads] - deltas[heads]
+    docs = c - np.repeat(base, ns)
+    tfs = varint_decode(b"".join(state["tfs_b"][i] for i in idxs)).astype(np.int64)
+    dls = varint_decode(b"".join(state["dls_b"][i] for i in idxs)).astype(np.int64)
+    cache = state["cache"]
+    for j, i in enumerate(idxs):
+        s, e = starts[j], starts[j + 1]
+        cache[i] = (docs[s:e], tfs[s:e], dls[s:e])
 
 
 def _prune_blocks_by_range(rows: pd.DataFrame, cand: np.ndarray) -> pd.DataFrame:
@@ -374,18 +408,31 @@ def _make_shard_scorer(
         """Block-max WAND over the union of posting lists.
 
         Doc space is chunked at the union of block boundaries; a chunk
-        is decoded only if Σ_t max(block max_score overlapping chunk)
-        can beat the current k-th best (θ). Exact scores for survivors.
+        is scored only when its upper bound Σ_t ub_t can beat the
+        current k-th best (θ). Two term classes:
+
+        * SMALL terms (≤ BMW_SMALL_TERM_BLOCKS blocks): decoded up
+          front — one cheap vectorized pass. Their chunk bound uses
+          POSTING-level presence (two searchsorted calls): a rare
+          term's single block spans the whole doc space, so a
+          block-overlap test would fold its (large) idf into EVERY
+          chunk's bound and no chunk could ever skip.
+        * HOT terms (> BMW_SMALL_TERM_BLOCKS blocks): block-max
+          metadata drives the bound, and the posting bytes stay
+          ENCODED until a chunk survives the θ test — block-max
+          skipping then saves the varint decode too, which at scale is
+          the dominant cost of a hot term. Demand-decoded blocks are
+          cached; once ≥ 1/BMW_LAZY_SWITCH_DEN of a hot term's blocks
+          were demanded anyway (low skip rate), the term switches to
+          one vectorized full decode, so a dense union costs the same
+          as eager decoding.
         """
         if not present:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         term_rows = {m.term: by_term[m.term].sort_values("doc_first") for m in present}
-        # decode once per term; chunk iteration below skips SCORING work
-        # for chunks whose block-max upper bound can't beat θ. Block
-        # metadata as numpy arrays: the per-chunk overlap test is array
-        # math, not a pandas frame filter.
-        decoded = {m.term: _decode_term_blocks(term_rows[m.term], False)[:3] for m in present}
+        lazy = {}
         blockmeta = {}
+        small_ub = {}
         for m in present:
             r = term_rows[m.term]
             if safe_bounds:
@@ -403,6 +450,21 @@ def _make_shard_scorer(
                 r["doc_last"].to_numpy(dtype=np.int64),
                 bnds,
             )
+            if len(r) <= BMW_SMALL_TERM_BLOCKS:
+                lazy[m.term] = {"full": _decode_term_blocks(r, False)[:3]}
+                small_ub[m.term] = float(bnds.max()) if bnds.size else 0.0
+            else:
+                lazy[m.term] = {
+                    "rows": r,
+                    "docs_b": r["docs"].tolist(),
+                    "tfs_b": r["tfs"].tolist(),
+                    "dls_b": r["dls"].tolist(),
+                    "ns": r["n"].to_numpy(dtype=np.int64),
+                    "dec": np.zeros(len(r), dtype=bool),
+                    "n_dec": 0,
+                    "cache": {},
+                    "full": None,
+                }
         bounds = np.unique(
             np.concatenate(
                 [bm[0] for bm in blockmeta.values()]
@@ -418,32 +480,81 @@ def _make_shard_scorer(
         # scoring inside a surviving group is exact either way
         n_iv = bounds.size - 1
         group = max(1, n_iv // 256)
+        rounds = 0
+        skips = 0
         for ci in range(0, n_iv, group):
             lo = int(bounds[ci])
             hi = int(bounds[min(ci + group, n_iv)]) - 1
-            # upper bound for this chunk from per-block metadata
+            # upper bound for this chunk: posting-level presence for
+            # small (pre-decoded) terms, per-block metadata for hot ones
             ub = 0.0
             active = []
             for m in present:
+                if m.term in small_ub:
+                    docs_s = lazy[m.term]["full"][0]
+                    inlo = np.searchsorted(docs_s, lo)
+                    if inlo < docs_s.size and docs_s[inlo] <= hi:
+                        ub += small_ub[m.term]
+                        active.append((m, None))
+                    continue
                 firsts, lasts, bnds = blockmeta[m.term]
                 sel = (firsts <= hi) & (lasts >= lo)
                 if sel.any():
                     ub += float(bnds[sel].max())
-                    active.append(m)
+                    # sel stays a mask: only the pre-switch lazy branch
+                    # pays the nonzero() — post-switch rounds match the
+                    # eager path's per-chunk cost exactly
+                    active.append((m, sel))
             # skip only when every chunk score must round BELOW θ_e6 —
             # an e6-tied score could still win the doc_id tie-break
             if not active or (
                 truncate and top_docs.size >= k and ub * 1e6 < theta_e6 - 0.5
             ):
-                continue  # BMW skip
+                skips += 1
+                continue  # BMW skip — the skipped blocks were never decoded
+            rounds += 1
+            dense_union = skips == 0 and rounds > BMW_LAZY_PROBE_ROUNDS
             docs_all, contrib_all = [], []
-            for m in active:
-                tdocs, ttfs, tdls = decoded[m.term]
-                inlo = np.searchsorted(tdocs, lo)
-                inhi = np.searchsorted(tdocs, hi, side="right")
-                if inhi > inlo:
-                    docs_all.append(tdocs[inlo:inhi])
-                    contrib_all.append(_bm25(ttfs[inlo:inhi], tdls[inlo:inhi], m.idf, avgdl))
+            for m, sel_m in active:
+                st = lazy[m.term]
+                bidx = None
+                if st["full"] is None:
+                    bidx = np.nonzero(sel_m)[0]
+                    missing = bidx[~st["dec"][bidx]]
+                    if missing.size:
+                        st["n_dec"] += int(missing.size)
+                        if dense_union or (
+                            BMW_LAZY_SWITCH_DEN * st["n_dec"] >= st["ns"].size
+                        ):
+                            # low skip rate for this term: finish with
+                            # one vectorized full decode (globally
+                            # doc-sorted), drop the per-block cache
+                            st["full"] = _decode_term_blocks(st["rows"], False)[:3]
+                            st["cache"].clear()
+                        else:
+                            _decode_blocks_lazy(st, missing)
+                            st["dec"][missing] = True
+                if st["full"] is not None:
+                    tdocs, ttfs, tdls = st["full"]
+                    inlo = np.searchsorted(tdocs, lo)
+                    inhi = np.searchsorted(tdocs, hi, side="right")
+                    if inhi > inlo:
+                        docs_all.append(tdocs[inlo:inhi])
+                        contrib_all.append(
+                            _bm25(ttfs[inlo:inhi], tdls[inlo:inhi], m.idf, avgdl)
+                        )
+                    continue
+                cache = st["cache"]
+                parts = [cache[i] for i in bidx]
+                tdocs = parts[0][0] if len(parts) == 1 else np.concatenate([p[0] for p in parts])
+                # salted runs interleave, so blocks of one term can
+                # overlap in doc range: mask, don't searchsorted
+                mask = (tdocs >= lo) & (tdocs <= hi)
+                if mask.any():
+                    ttfs = (parts[0][1] if len(parts) == 1 else np.concatenate([p[1] for p in parts]))[mask]
+                    tdls = (parts[0][2] if len(parts) == 1 else np.concatenate([p[2] for p in parts]))[mask]
+                    docs_all.append(tdocs[mask])
+                    contrib_all.append(_bm25(ttfs, tdls, m.idf, avgdl))
             if not docs_all:
                 continue
             docs_cat = np.concatenate(docs_all)
