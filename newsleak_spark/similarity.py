@@ -10,14 +10,21 @@ Two paths:
   * ``ann_lsh_buckets`` / ``ann_lsh_topk`` — the 100TB scale path:
     seed-pinned random-hyperplane LSH (vectorized numpy over Arrow
     batches) buckets vectors; candidates come from ONE equi-join on
-    bucket keys and are exactly re-ranked within buckets. Recall is
-    tested against the brute-force baseline in tests (no SQL oracle —
-    driver records the rows-only check).
+    bucket keys and are exactly re-ranked within buckets. Recall vs
+    the brute baseline is measured in tests/test_similarity.py on
+    planted-cluster data (>=0.9 from a <25% candidate fraction) and by
+    tools/recall_report.py on the fixture (no SQL oracle — driver
+    records the rows-only check). Recall is a function of the DATA
+    GEOMETRY: the fixture's embeddings are uniform random (max
+    pairwise cosine ~0.46), where hyperplane collision probability is
+    provably tiny and ANY bucketing scheme degenerates; clustered
+    corpora — the real operating regime — bucket well (BASELINE.md
+    "LSH recall").
 
 At scale: the brute path is O(Q·N) and only for small Q (it broadcasts
-the query set); the LSH path shuffles once on the bucket key, with
-multi-probe via B independent hyperplane tables to trade recall for
-join fan-out.
+the query set); the LSH path shuffles once on the bucket key, with B
+independent hyperplane tables trading recall for join fan-out and the
+MAX_ANN_BUCKET cap bounding degenerate buckets.
 """
 
 from __future__ import annotations
@@ -63,15 +70,21 @@ def _norm(a: str) -> F.Column:
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for query vectors (vec_id < N_QUERIES) against
+    return ann_cosine_topk_df(_emb(spark, sf_dir))
+
+
+def ann_cosine_topk_df(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k for query vectors (vec_id < n_queries) against
     the full table (self excluded). Tie-break (sim desc, neighbor asc).
 
     Array-form brute force: the Q query vectors broadcast against the
     table and each pair's dot/norms fold inside whole-stage codegen
     (zip_with + aggregate) — one narrow stage over N rows, no ×dim row
     explosion, no position-keyed shuffle."""
-    e = _emb(spark, sf_dir).withColumn("nrm", _norm("embedding"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    e = emb.withColumn("nrm", _norm("embedding"))
+    q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         F.col("nrm").alias("qnrm"),
@@ -88,7 +101,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("sim_e4"), F.asc("vec_id"))
     return (
         sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             F.col("qid").cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
@@ -174,20 +187,35 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFra
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    return ann_lsh_topk_df(_emb(spark, sf_dir), seed=seed)
+
+
+def ann_lsh_topk_df(
+    emb: DataFrame,
+    seed: int = 42,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_BITS,
+    dim: int = DIM,
+    max_bucket: int = MAX_ANN_BUCKET,
+) -> DataFrame:
     """Approximate top-k: candidates from the bucket equi-join, exact
     cosine rerank within candidates. Same output schema as the brute
-    path so recall is directly measurable."""
-    e = _emb(spark, sf_dir).withColumn("nrm", _norm("embedding"))
-    udf = lsh_bucket_udf(seed)
+    path so recall is directly measurable (tests/test_similarity.py
+    measures it on planted-cluster data; tools/recall_report.py on the
+    fixture — see the BASELINE.md note on recall vs data geometry)."""
+    e = emb.withColumn("nrm", _norm("embedding"))
+    udf = lsh_bucket_udf(seed, n_tables=n_tables, n_bits=n_bits, dim=dim)
     b = e.select("vec_id", "embedding", "nrm", F.explode(udf("embedding")).alias("bucket"))
     # bucket-size cap (see MAX_ANN_BUCKET): the size agg and filter
     # join reuse the bucket key the candidate join shuffles on
     small = (
         b.groupBy("bucket").agg(F.count("*").alias("m"))
-        .filter(F.col("m") <= MAX_ANN_BUCKET).select("bucket")
+        .filter(F.col("m") <= max_bucket).select("bucket")
     )
     b = b.join(small, "bucket")
-    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+    qb = b.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         F.col("nrm").alias("qnrm"),
@@ -206,7 +234,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
     w = W.partitionBy("qid").orderBy(F.desc("sim_e4"), F.asc("vec_id"))
     return (
         sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             F.col("qid").cast("long").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
