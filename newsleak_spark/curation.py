@@ -217,16 +217,39 @@ def g2_keyterm_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Facet-key discovery exclusions: full-text and identifier-shaped
+# columns are never terms-facetable (the reference keeps the same
+# split — fulltext vs metadata fields).
+FACET_KEY_EXCLUDE = {"text", "conv_id", "doc_id"}
+
+
+def discover_facet_keys(t: DataFrame) -> list[str]:
+    """Runtime facet-key discovery — the reference reads the metadata
+    keys per dataset at request time (AggregateService.scala:174-177)
+    rather than hardcoding them. Spark analog: every string-typed
+    column of the (already-loaded) schema that is not full-text or an
+    identifier. A metadata column added to the table shows up in the
+    multi-facet output with no code change. Driver-side schema
+    inspection only — no job."""
+    return sorted(
+        c for c, dt in t.dtypes if dt == "string" and c not in FACET_KEY_EXCLUDE
+    )
+
+
 def g3_facet_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: one pass over the doc set producing every metadata facet
-    (role + tool) as stacked (facet_key, value, n_docs) rows — the
-    multi-terms-agg request expressed as a single explode + hash-agg."""
+    (discovered at runtime; role + tool on this schema) as stacked
+    (facet_key, value, n_docs) rows — the multi-terms-agg request
+    expressed as a single explode + hash-agg."""
     t = load_transcripts(spark, sf_dir)
+    keys = discover_facet_keys(t)
     kv = t.select(
         F.explode(
             F.array(
-                F.struct(F.lit("role").alias("facet_key"), F.col("role").alias("value")),
-                F.struct(F.lit("tool").alias("facet_key"), F.col("tool").alias("value")),
+                *[
+                    F.struct(F.lit(k).alias("facet_key"), F.col(k).alias("value"))
+                    for k in keys
+                ]
             )
         ).alias("kv")
     ).select("kv.facet_key", "kv.value").filter(F.col("value").isNotNull())

@@ -78,3 +78,16 @@ def test_top_terms_per_doc_rank(spark, transcripts):
         assert len(rs) <= 3
         tfs = [r.tf for r in sorted(rs, key=lambda x: x.rank)]
         assert tfs == sorted(tfs, reverse=True)
+
+
+def test_discover_facet_keys_follows_schema(spark):
+    """G3's key discovery is schema-driven (AggregateService.scala:
+    174-177 analog): a new string metadata column appears with no code
+    change; text/identifier columns never do."""
+    from newsleak_spark.curation import discover_facet_keys
+
+    df = spark.createDataFrame(
+        [(1, "c1", "hello", "user", "t0", "prod")],
+        "doc_id long, conv_id string, text string, role string, tool string, env string",
+    )
+    assert discover_facet_keys(df) == ["env", "role", "tool"]
