@@ -377,13 +377,22 @@ def build_index(
             StageRecord("tokenized", rows, time.time() - t0, dir_bytes(tok_path), chash)
         )
 
-    tokenized = spark.read.parquet(tok_path)
+    # tokenized checkpoint is read LAZILY: a compacted index
+    # (compact_index) seeds docmeta+postings directly and has no
+    # tokenized dir — stages that are already committed must not
+    # touch it
+    _tok_cache: list = []
+
+    def _tokenized() -> DataFrame:
+        if not _tok_cache:
+            _tok_cache.append(spark.read.parquet(tok_path))
+        return _tok_cache[0]
 
     # ---- stage 2: docmeta + collection stats ------------------------------
     if not (resume and man.stage_done("docmeta", chash)):
         t0 = time.time()
         obs = Observation("docmeta")
-        meta = tokenized.select("doc_id", "role", "tool", "ts", "dl", "shard").observe(
+        meta = _tokenized().select("doc_id", "role", "tool", "ts", "dl", "shard").observe(
             obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
         )
         meta.write.mode("overwrite").partitionBy("shard").parquet(meta_path)
@@ -410,7 +419,7 @@ def build_index(
     # ---- stage 3: postings checkpoint (computed once, reused twice) -------
     if not (resume and man.stage_done("postings", chash)):
         t0 = time.time()
-        p = _postings(tokenized, cfg.with_positions)
+        p = _postings(_tokenized(), cfg.with_positions)
         obs = Observation("postings")
         p = p.observe(obs, F.count(F.lit(1)).alias("rows"))
         p.write.mode("overwrite").parquet(post_path)
@@ -574,3 +583,97 @@ def append_index(
         json.dump({"deltas": existing + [name]}, f)
     os.replace(tmp, path)  # commit-last
     return man
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, out_dir: str | None = None
+) -> Manifest:
+    """Merge base + registered deltas into ONE new index WITHOUT
+    re-analyzing any text: the per-part stage-3 POSTINGS checkpoints
+    (and docmeta) are unioned into ``out_dir``, their stage records are
+    committed, and the normal resumable build pipeline finishes from
+    stage 4 — dictionary re-aggregation (df/cf over the merged
+    postings, so hot-term salting follows the COMBINED frequencies)
+    and the salted segment encode. Tokenization — the dominant build
+    cost — is never re-run; compaction costs ~stages 4-5 of a fresh
+    build plus two columnar unions.
+
+    The source index is NOT mutated; ``out_dir`` (default
+    ``{index_dir}_compacted``) is a complete standalone index whose
+    query results and manifest stats equal a from-scratch build of the
+    full collection (tests/test_compaction.py). Swapping readers to it
+    is the Iceberg catalog-pointer-update analog; after the swap the
+    old base+delta tree can be dropped and new deltas append to the
+    compacted dir. Kill-and-rerun resumes: the union stages and the
+    inherited build stages are all manifest-gated.
+
+    The periodic-compaction maintenance story at 10^12 turns: deltas
+    accumulate O(days) of ingest; the reader's per-part dictionary
+    lookups and safe (stats-independent) BMW bounds degrade gracefully
+    with part count, and this job folds them back to one part at
+    postings-merge cost.
+    """
+    from functools import reduce
+
+    base_man = Manifest(index_dir)
+    if not base_man.config:
+        raise ValueError(f"no built index at {index_dir}")
+    cfg = IndexConfig(**{k: v for k, v in base_man.config.items() if k != "_hash"})
+    chash = config_hash(cfg.as_dict())
+    parts = [index_dir] + [os.path.join(index_dir, d) for d in list_deltas(index_dir)]
+    out_dir = out_dir or index_dir.rstrip("/") + "_compacted"
+    man = Manifest(out_dir)
+    if man.config and man.config.get("_hash") not in (None, chash):
+        raise ValueError(f"compaction target {out_dir} holds a different config")
+    man.set_config({**cfg.as_dict(), "_hash": chash})
+
+    meta_path = os.path.join(out_dir, "docmeta")
+    post_path = os.path.join(out_dir, "postings")
+
+    if not man.stage_done("docmeta", chash):
+        t0 = time.time()
+        metas = [spark.read.parquet(os.path.join(p, "docmeta")) for p in parts]
+        obs = Observation("compact_docmeta")
+        merged = reduce(lambda a, b: a.unionByName(b), metas).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+        )
+        merged.write.mode("overwrite").partitionBy("shard").parquet(meta_path)
+        n_docs = int(obs.get["n"])
+        sum_dl = int(obs.get["sum_dl"] or 0)
+        man.set_stats(
+            n_docs=n_docs, sum_dl=sum_dl, avgdl=sum_dl / n_docs if n_docs else 0.0
+        )
+        man.commit_stage(
+            StageRecord(
+                "docmeta", n_docs, time.time() - t0, dir_bytes(meta_path), chash,
+                extra={"compacted_from": len(parts)},
+            )
+        )
+        # no tokenized checkpoint exists for a compacted index — commit
+        # the stage as satisfied-by-compaction so build never re-enters
+        # stage 1 (and never reads the absent dir: the tokenized
+        # checkpoint is read lazily)
+        man.commit_stage(
+            StageRecord("tokenized", n_docs, 0.0, 0, chash, extra={"compacted": True})
+        )
+
+    if not man.stage_done("postings", chash):
+        t0 = time.time()
+        posts = [spark.read.parquet(os.path.join(p, "postings")) for p in parts]
+        obs = Observation("compact_postings")
+        merged = reduce(lambda a, b: a.unionByName(b), posts).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        merged.write.mode("overwrite").parquet(post_path)
+        n_post = int(obs.get["rows"])
+        man.set_stats(n_postings=n_post)
+        man.commit_stage(
+            StageRecord(
+                "postings", n_post, time.time() - t0, dir_bytes(post_path), chash,
+                extra={"compacted_from": len(parts)},
+            )
+        )
+
+    # stages 4-5 (dictionary, segments) run via the normal build with
+    # stages 1-3 already committed; transcripts is never touched
+    return build_index(spark, None, out_dir, cfg, resume=True)
