@@ -48,7 +48,8 @@ _TOKS = (
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
-    "e2_incremental_and", "e4_engine_facet", "e5_engine_hit_count",
+    "e2_incremental_and", "e3_compacted_and",
+    "e4_engine_facet", "e5_engine_hit_count",
     "f1_bm25_and", "f8_parsed_query",
     "f6_timex_range", "a4_paragraphs",
     "u_set_algebra", "a9_keyterms",
@@ -187,6 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["e2_incremental_and"] = _inc_query
 
+    # compaction path: base+delta folded into one part (postings-level
+    # merge, no re-tokenize) must still hash-match the full-collection
+    # oracle — the maintenance job verified by the driver end-to-end
+    def _compacted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from newsleak_spark.indexing import compact_index
+
+        base = _engine_incremental_index(spark, sf_dir)
+        d = base + "_compacted"
+        compact_index(spark, base, d)  # manifest-gated: no-op once built
+        return search(spark, d, _SPECS["f1_bm25_and"])
+
+    q["e3_compacted_and"] = _compacted_query
+
     # index-accelerated aggregation path (engine.matching_doc_ids):
     # facet + hit count over the doc set matching a query, doc ids from
     # posting intersection (no text re-tokenization) — oracle is plain
@@ -257,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
     for ename, ref in _ENGINE_SPECS.items():
         o[ename] = bm25_topk_oracle_sql(_SPECS[ref] if ref else _UNION_SPEC)
     o["e2_incremental_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
+    o["e3_compacted_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
 
     e4_where = (
         "list_contains(regexp_extract_all(lower(text), "
