@@ -674,6 +674,18 @@ def compact_index(
             )
         )
 
+    # carry the streaming ingest ledger: a stream repointed at the
+    # compacted dir (same source checkpoint) must keep skipping batches
+    # whose rows are already folded in, or the replay would duplicate
+    # them as fresh deltas
+    import shutil
+
+    from newsleak_spark.streaming import BATCH_LEDGER  # lazy: avoids cycle
+
+    ledger = os.path.join(index_dir, BATCH_LEDGER)
+    if os.path.exists(ledger):
+        shutil.copy(ledger, os.path.join(out_dir, BATCH_LEDGER))
+
     # stages 4-5 (dictionary, segments) run via the normal build with
     # stages 1-3 already committed; transcripts is never touched
     return build_index(spark, None, out_dir, cfg, resume=True)

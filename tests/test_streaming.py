@@ -57,3 +57,33 @@ def test_stream_rerun_is_noop(spark, dirs):
     _drain(spark, land, idx, ckpt)  # no new files → no new deltas
     assert list_deltas(idx) == before
     assert len(streaming._seen_batches(idx)) == 2
+
+
+def test_stream_compact_then_repoint(spark, transcripts, dirs, tmp_path_factory):
+    """Operational maintenance loop: compact the streamed base+delta
+    tree, repoint the stream at the compacted dir (same source
+    checkpoint), drop more files — the carried batch ledger prevents
+    duplicate re-indexing, the new drop appends as a delta, and
+    queries stay rank-identical to a from-scratch build of everything."""
+    from newsleak_spark.indexing import compact_index
+
+    land, idx, ckpt, _full, root = dirs
+    comp = str(root / "idx_compacted")
+    compact_index(spark, idx, comp)
+    assert list_deltas(comp) == []
+
+    # third drop: disjoint doc ids
+    extra = transcripts.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    extra.coalesce(1).write.mode("append").parquet(land)
+    q = streaming.ingest_stream(spark, land, comp, ckpt, CFG, available_now=True)
+    q.awaitTermination(120)
+    # only the NEW batch landed (ledger carried batches 0-1)
+    assert list_deltas(comp) == ["delta_b00000002"]
+
+    grown = str(tmp_path_factory.mktemp("grown") / "full")
+    build_index(spark, transcripts.unionByName(extra), grown, CFG, resume=False)
+    want = [(r["doc_id"], r["score_e6"]) for r in search(spark, grown, SPEC).collect()]
+    got = [(r["doc_id"], r["score_e6"]) for r in search(spark, comp, SPEC).collect()]
+    assert got == want
