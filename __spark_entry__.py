@@ -59,12 +59,12 @@ _GATE_PRIORITY = [
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
     "mm_metadata", "mm_frame_sample", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
+    "decontaminate", "redact_terms", "domain_mix",
     "f3_entity_filter", "f4_keyword_filter", "f9_docs_multifield",
     "f10_match_tool", "f11_blacklist_merge_facet", "g2_keyterm_facet",
-    "g3_facet_all", "g4_typed_facet", "t2_pagination",
+    "g3_facet_all", "g4_typed_facet",
     "j1_tags_labels", "j3_duplicates", "j4_hits_metadata",
     "p2_highlight", "a10_dict_extract",
-    "g1_facet_tool_include", "g6_histogram_month", "j6_tool_network",
 ]
 
 

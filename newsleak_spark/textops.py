@@ -17,6 +17,9 @@ Ops:
   token_count        whitespace + BPE-ish regex token counts
   fingerprint        document fingerprint (md5 of canonical token form)
   a7_not_fulltext    newsleak's boilerplate flag (SegmenterICU.java:223-266)
+  decontaminate      benchmark n-gram leak detection (eval-set overlap)
+  redact_terms       sensitive-term redaction (regex pass + fingerprint)
+  domain_mix         per-(source, lang) mixture composition report
 
 Scale notes: shingle/minhash self-joins are bounded by distinct() on
 (doc, key) before the join, by the SHINGLE_DF_CAP document-frequency
@@ -341,6 +344,77 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Deterministic "benchmark/eval set" stand-in for decontamination:
+# every 97th doc plays the held-out benchmark whose n-grams must not
+# leak into training data.
+CONTAM_BENCH_MOD = 97
+CONTAM_NGRAM = 4
+
+# Redaction blocklist (the PII-redaction op shape: the fixture text
+# carries no emails/IPs, so the blocklist is term-based — the regex
+# machinery is identical, word-boundary alternation → placeholder).
+REDACT_TERMS = ("customer", "key", "vector")
+REDACT_TOKEN = "<redacted>"
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination: flag docs sharing at least one
+    distinct CONTAM_NGRAM-gram with the benchmark set (doc_id %
+    CONTAM_BENCH_MOD == 0), with the overlap count. One equi-join on
+    the shingle key; the benchmark side is eval-set-sized (bounded in
+    practice), so Catalyst broadcasts it from stats at small scale and
+    shuffle-joins at large — no hint either way. Benchmark docs are
+    not self-flagged."""
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    sh = _shingles(d, n=CONTAM_NGRAM)
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+def redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction: replace every word-boundary occurrence
+    of the blocklist with REDACT_TOKEN in one regexp_replace pass;
+    emit the redaction count and a fingerprint of the redacted text
+    (the PII-scrub pipeline stage — row-local, no shuffle)."""
+    pat = r"\b(" + "|".join(REDACT_TERMS) + r")\b"
+    d = _docs(spark, sf_dir)
+    red = F.regexp_replace(F.col("text"), pat, REDACT_TOKEN)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long").alias("n_redacted"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_fp16"),
+    ).orderBy("doc_id")
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture report: per (source, lang) doc count, token
+    mass and mean doc length — the composition table a data pipeline
+    checks before sampling a mixture. One hash-agg (map-side partial),
+    facet-shaped output."""
+    d = _docs(spark, sf_dir).select(
+        "source", "lang", F.size(_toks()).cast("long").alias("n_tokens")
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.floor(F.avg("n_tokens")).cast("long").alias("mean_tokens"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
 def a7_not_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 boilerplate flag: >100 tokens and TTR < 0.1."""
     d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
@@ -368,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": token_count,
         "fingerprint": fingerprint,
         "a7_not_fulltext": a7_not_fulltext,
+        "decontaminate": decontaminate,
+        "redact_terms": redact_terms,
+        "domain_mix": domain_mix,
     }
 
 
@@ -484,4 +561,32 @@ WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
 SELECT doc_id,
        (len(toks) > 100 AND len(list_distinct(toks)) * 1.0 / len(toks) < 0.1) AS not_fulltext
 FROM t ORDER BY doc_id"""
+
+    n = CONTAM_NGRAM
+    joined = " || ' ' || ".join(f"t[i + {j + 1}]" for j in range(n))
+    o["decontaminate"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {joined} AS sh
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) x,
+       UNNEST(range(GREATEST(len(t) - {n - 1}, 0))) AS u(i)
+),
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams
+FROM sh JOIN bench USING (sh)
+WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+GROUP BY doc_id ORDER BY doc_id"""
+
+    pat = r"\b(" + "|".join(REDACT_TERMS) + r")\b"
+    o["redact_terms"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_redacted,
+       substr(md5(regexp_replace(text, '{pat}', '{REDACT_TOKEN}', 'g')), 1, 16) AS redacted_fp16
+FROM documents ORDER BY doc_id"""
+
+    o["domain_mix"] = f"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(FLOOR(AVG(n)) AS BIGINT) AS mean_tokens
+FROM (SELECT source, lang, len({_TOKS_SQL}) AS n FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2"""
     return o
