@@ -274,3 +274,56 @@ def windowed_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming exact dedup: first-seen turn per content fingerprint
+    is emitted, later duplicates are dropped by keyed state — the
+    stream twin of textops.dedup_exact for a continuously-landing
+    corpus (dedup BEFORE indexing/training is the standard pipeline
+    position).
+
+    readStream → md5 fingerprint of the analyzed-token join (the SAME
+    canonical form the batch dedup ops use, so batch and stream agree
+    on what "duplicate" means) → withWatermark →
+    dropDuplicatesWithinWatermark on the fingerprint → append-mode
+    parquet sink. The watermark bounds the dedup state: a fingerprint
+    older than the horizon is pruned, so state is O(recent window), not
+    O(all history) — at 10^12-turn scale an unbounded exact-dedup state
+    is impossible, and horizon-bounded streaming dedup composes with
+    the batch dedup_exact pass that runs at compaction/training time.
+    Returns the started StreamingQuery.
+    """
+    from pyspark.sql import functions as F
+
+    from newsleak_spark.analysis import tokens_col
+
+    stream = (
+        spark.readStream.schema(schema or TRANSCRIPT_SCHEMA)
+        .format("parquet")
+        .load(input_dir)
+    )
+    deduped = (
+        stream.withColumn("_ts", F.col("ts").cast("timestamp"))
+        .withColumn("fp", F.md5(F.array_join(tokens_col(F.col("text")), " ")))
+        .withWatermark("_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("_ts")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -87,3 +87,34 @@ def test_stream_compact_then_repoint(spark, transcripts, dirs, tmp_path_factory)
     want = [(r["doc_id"], r["score_e6"]) for r in search(spark, grown, SPEC).collect()]
     got = [(r["doc_id"], r["score_e6"]) for r in search(spark, comp, SPEC).collect()]
     assert got == want
+
+
+def test_dedup_stream_first_seen_wins(spark, transcripts, tmp_path_factory):
+    """Streaming exact dedup: duplicates arriving in later drops are
+    dropped by keyed state; the sink holds one row per content
+    fingerprint (first-seen), matching the batch dedup_exact notion of
+    duplicate (same analyzed-token join)."""
+    root = tmp_path_factory.mktemp("streamdedup")
+    land, out, ckpt = str(root / "land"), str(root / "out"), str(root / "ckpt")
+
+    base = transcripts.filter(F.col("doc_id") < 40)
+    base.coalesce(1).write.mode("append").parquet(land)
+    q = streaming.dedup_stream(spark, land, out, ckpt)
+    q.awaitTermination(120)
+
+    # second drop: 10 exact duplicates (same text, new doc ids) + 5 new
+    dups = base.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    new = transcripts.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 45))
+    dups.unionByName(new).coalesce(1).write.mode("append").parquet(land)
+    q = streaming.dedup_stream(spark, land, out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # every surviving row is a distinct fingerprint
+    assert got.count() == got.select("fp").distinct().count()
+    # the 10 re-texted duplicates were dropped: no doc_id >= 1_000_000
+    assert got.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    # the 5 genuinely new docs landed
+    assert got.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 45)).count() > 0
