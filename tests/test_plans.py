@@ -178,3 +178,21 @@ def test_filtered_search_docmeta_pushdown(spark, index_dir):
     assert any(
         "role" in seg.split("]", 1)[0] for seg in plan.split("PushedFilters")[1:]
     ), plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    """Decontamination is ONE equi-join on the shingle key (benchmark
+    side is eval-set-sized) — never a cartesian product."""
+    from newsleak_spark import textops
+
+    plan = plan_of(textops.decontaminate(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+
+
+def test_redact_terms_no_shuffle(spark):
+    """Redaction is row-local: a single projection over the scan — no
+    exchange besides the output ordering's."""
+    from newsleak_spark import textops
+
+    plan = plan_of(textops.redact_terms(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Join" not in plan
