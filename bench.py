@@ -61,9 +61,12 @@ HEADLINE = [
     "f3_entity_filter",
     "f4_keyword_filter",
     "p2_highlight",
+    "f6_timex_range",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "decontaminate",
+    "domain_mix",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "token_count",
