@@ -23,8 +23,11 @@ Two paths:
 
 At scale: the brute path is O(Q·N) and only for small Q (it broadcasts
 the query set); the LSH path shuffles once on the bucket key, with B
-independent hyperplane tables trading recall for join fan-out and the
-MAX_ANN_BUCKET cap bounding degenerate buckets.
+independent hyperplane tables trading recall for join fan-out, the
+MAX_ANN_BUCKET cap bounding degenerate buckets, and optional 1-bit
+multi-probe (probe_bits=1) expanding only the broadcast QUERY side to
+the hamming-1 bucket neighborhood — recall per table rises from p^bits
+to p^bits + bits·p^(bits-1)·(1-p) with zero corpus-side growth.
 """
 
 from __future__ import annotations
@@ -199,6 +202,7 @@ def ann_lsh_topk_df(
     n_bits: int = LSH_BITS,
     dim: int = DIM,
     max_bucket: int = MAX_ANN_BUCKET,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates from the bucket equi-join, exact
     cosine rerank within candidates. Same output schema as the brute
@@ -221,6 +225,26 @@ def ann_lsh_topk_df(
         F.col("nrm").alias("qnrm"),
         "bucket",
     )
+    if probe_bits >= 1:
+        # MULTI-PROBE (query-side only): also probe every bucket at
+        # hamming distance 1 — a near neighbor that disagrees on one
+        # hyperplane is still found. The corpus keeps ONE bucket per
+        # table (no storage/shuffle growth); only the tiny broadcast
+        # query side fans out ×(n_bits+1). Bucket ids pack the table
+        # tag above bit n_bits, so flipping the low bits stays within
+        # the same table.
+        qb = qb.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_bits)
+                    ],
+                )
+            ),
+        )
     cand = (
         b.join(F.broadcast(qb), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))

@@ -83,3 +83,29 @@ def test_lsh_candidates_are_a_small_fraction(clustered):
     n_total = 5 * (N_CLUSTERS * PER_CLUSTER - 1)
     frac = n_cand / n_total
     assert frac < 0.25, f"candidate fraction {frac} — bucketing degenerated"
+
+
+def test_multiprobe_recovers_recall_with_fewer_tables(clustered):
+    """1-bit multi-probe: with only 4 tables at 12 bits, single-bucket
+    probing misses a substantial recall fraction (per-table collision
+    ~0.26 at intra-cluster cosine ~0.94); probing the hamming-1
+    neighborhood of each query bucket recovers it — query-side fan-out
+    only, no corpus-side storage growth."""
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk_df(clustered, n_queries=5, k=5).collect()
+    }
+
+    def recall(probe_bits):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_lsh_topk_df(
+                clustered, n_queries=5, k=5, n_tables=4, n_bits=12,
+                probe_bits=probe_bits,
+            ).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+    assert r1 >= 0.85, f"multi-probe recall {r1} (single-probe {r0})"
