@@ -107,3 +107,25 @@ def test_append_after_compaction(spark, transcripts, dirs, tmp_path_factory):
     build_index(spark, transcripts.unionByName(extra), grown_dir, CFG, resume=False)
     for spec in SPECS:
         assert _results(spark, comp_dir, spec) == _results(spark, grown_dir, spec), spec
+
+
+def test_second_generation_compaction(spark, transcripts, dirs, tmp_path_factory):
+    """Compaction composes: a compacted dir that has since accepted a
+    delta compacts again (its own postings checkpoint + the delta's),
+    still matching a from-scratch build — the steady-state maintenance
+    loop (ingest deltas → compact → ingest → compact ...)."""
+    _, _, comp_dir = dirs
+    # dirs' last test appended a shifted delta onto comp_dir
+    extra = transcripts.filter(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    if not list_deltas(comp_dir):
+        append_index(spark, extra, comp_dir, CFG)
+    gen2 = str(tmp_path_factory.mktemp("gen2") / "idx")
+    compact_index(spark, comp_dir, gen2)
+    assert list_deltas(gen2) == []
+
+    grown = str(tmp_path_factory.mktemp("grown2") / "full")
+    build_index(spark, transcripts.unionByName(extra), grown, CFG, resume=False)
+    for spec in SPECS:
+        assert _results(spark, gen2, spec) == _results(spark, grown, spec), spec
