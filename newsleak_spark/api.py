@@ -85,6 +85,14 @@ class NewsleakAPI:
     built) its segment index. ``index_dir=None`` degrades every ranked
     query to the brute DataFrame path (same results, no index)."""
 
+    # Bounded FIFO cache of collected ranked hits per normalized query
+    # (the reference caches its SearchHitIterator by the query's
+    # Facets hash across paginated requests,
+    # DocumentController.scala:284-287): page 2..n of the same query
+    # reuse page 1's collected top-k instead of re-running the scan,
+    # re-running only when a deeper page needs a LARGER k.
+    HIT_CACHE_MAX = 32
+
     def __init__(
         self,
         spark: SparkSession,
@@ -96,6 +104,8 @@ class NewsleakAPI:
         self.transcripts = transcripts
         self.index_dir = index_dir
         self.mode = mode
+        self._hit_cache: dict[str, list] = {}
+        self.topk_runs = 0  # observability: ranked scans actually executed
 
     # -- GET /getDocs -----------------------------------------------------
 
@@ -126,8 +136,7 @@ class NewsleakAPI:
         # boost (should) terms highlight too — the ES highlighter wraps
         # every query term incl. should clauses (DocumentService.scala:406-418)
         targets = set(spec.all_scored_terms()) | set(spec.boost_terms)
-        hits = self._topk(spec)
-        rows = hits.collect()[(page - 1) * page_size :]
+        rows = self._ranked_rows(spec)[(page - 1) * page_size :]
         ids = [r["doc_id"] for r in rows]
         scores = {r["doc_id"]: r["score_e6"] / 1e6 for r in rows}
         docs: list[dict] = []
@@ -239,6 +248,29 @@ class NewsleakAPI:
         if self.index_dir is not None:
             return search(self.spark, self.index_dir, spec)
         return bm25_topk(self.transcripts, spec, mode=self.mode)
+
+    def _ranked_rows(self, spec: QuerySpec) -> list:
+        """Collected top-k rows for the spec, cache-aware: keyed by the
+        spec NORMALIZED WITHOUT k, so any page whose depth fits an
+        already-collected deeper run is served driver-side (a cached
+        top-100 answers pages 1..N of size<=100/N). Bounded FIFO."""
+        from dataclasses import replace
+
+        key = replace(spec, k=0).cache_key()
+        cached = self._hit_cache.get(key)
+        if cached is not None:
+            cached_k, rows = cached
+            # a request is fully answerable from cache iff the cached
+            # run was truncated at >= spec.k, OR it returned fewer rows
+            # than ITS OWN k (the result set is exhausted)
+            if cached_k >= spec.k or len(rows) < cached_k:
+                return rows[: spec.k]
+        self.topk_runs += 1
+        rows = self._topk(spec).collect()
+        if len(self._hit_cache) >= self.HIT_CACHE_MAX:
+            self._hit_cache.pop(next(iter(self._hit_cache)))
+        self._hit_cache[key] = (spec.k, rows)
+        return rows
 
     def _matching(self, spec: QuerySpec) -> DataFrame:
         """Query-filtered doc set for aggregation endpoints. Indexed

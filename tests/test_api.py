@@ -135,3 +135,27 @@ def test_aggregate_include_zero_fill(api):
     out = api.aggregate("tool", include=["tool_1", "zzz_never"])
     by_key = {b["key"]: b["docCount"] for b in out["buckets"]}
     assert by_key.get("zzz_never") == 0 and by_key.get("tool_1", 0) > 0
+
+
+def test_get_docs_hit_cache_across_pages(spark, transcripts):
+    """Paginated requests of the same query reuse the collected ranked
+    hits (the reference caches its hit iterator by query hash): a
+    repeat of page 1 and a SHALLOWER page after a deep one run no new
+    ranked scan; a deeper page re-runs with a larger k."""
+    from newsleak_spark.api import NewsleakAPI
+
+    api = NewsleakAPI(spark, transcripts)
+    r1 = api.get_docs("table", page=1, page_size=5, with_total=False, highlight=False)
+    assert api.topk_runs == 1
+    r1b = api.get_docs("table", page=1, page_size=5, with_total=False, highlight=False)
+    assert api.topk_runs == 1  # served from cache
+    assert [d["id"] for d in r1b["docs"]] == [d["id"] for d in r1["docs"]]
+
+    r2 = api.get_docs("table", page=2, page_size=5, with_total=False, highlight=False)
+    assert api.topk_runs == 2  # deeper k -> one re-run
+    assert not set(d["id"] for d in r2["docs"]) & set(d["id"] for d in r1["docs"])
+
+    # page 1 again: the cached deeper run answers it (prefix property)
+    r1c = api.get_docs("table", page=1, page_size=5, with_total=False, highlight=False)
+    assert api.topk_runs == 2
+    assert [d["id"] for d in r1c["docs"]] == [d["id"] for d in r1["docs"]]
