@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--synthetic", type=int, help="generate N synthetic turns instead")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--append", action="store_true", help="delta-append instead of base build")
+    ap.add_argument(
+        "--compact", metavar="OUT_DIR",
+        help="fold --index-dir's base+deltas into OUT_DIR (no --input needed)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--mode", default="standard", choices=["standard", "english"])
     ap.add_argument("--n-shards", type=int, default=8)
@@ -64,6 +68,23 @@ def main() -> None:
         spark = get_spark(
             app_name="newsleak_build", shuffle_partitions=args.shuffle_partitions
         )
+
+    if args.compact:
+        from newsleak_spark.indexing import compact_index
+
+        t0 = time.time()
+        man = compact_index(spark, args.index_dir, args.compact)
+        print(
+            json.dumps(
+                {
+                    "index_dir": args.compact,
+                    "compacted_from": args.index_dir,
+                    "wall_sec": round(time.time() - t0, 2),
+                    "stats": man.stats,
+                }
+            )
+        )
+        return
 
     if args.synthetic:
         t = synth_transcripts(spark, args.synthetic, seed=args.seed, partitions=args.partitions)
