@@ -138,3 +138,43 @@ def test_english_mode_engine_vs_brute(spark, transcripts, tmp_path):
         want = [(r["doc_id"], r["score_e6"]) for r in brute_topk(transcripts, spec, mode="english").collect()]
         got = [(r["doc_id"], r["score_e6"]) for r in search(spark, d, spec).collect()]
         assert got == want, (terms, got[:3], want[:3])
+
+
+# ---------------------------------------------------------------------------
+# Property: rank identity over RANDOM query specs (hypothesis) — the
+# fixed SPECS list above pins known shapes; this sweeps the spec space
+# (term-count 1-3, boosts, role/tool/date filters, varying k) so an
+# engine path only a rare combination exercises can't drift silently.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_POOL = ["spark", "merge", "window", "table", "fast", "scan", "value",
+         "row", "key", "query", "batch", "nosuchterm"]
+
+_spec_st = st.builds(
+    QuerySpec,
+    terms=st.lists(st.sampled_from(_POOL), min_size=0, max_size=3, unique=True).map(tuple),
+    boost_terms=st.lists(st.sampled_from(_POOL), min_size=0, max_size=2, unique=True).map(tuple),
+    role_filter=st.sampled_from([(), ("user",), ("user", "tool")]),
+    tool_filter=st.sampled_from([(), ("tool_3",)]),
+    ts_from=st.sampled_from([None, _dt.date(2018, 6, 1)]),
+    ts_to=st.sampled_from([None, _dt.date(2020, 6, 30)]),
+    k=st.sampled_from([5, 10, 50]),
+)
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(spec=_spec_st)
+def test_engine_matches_brute_random_specs(spark, transcripts, index_dir, spec):
+    got = [(r.doc_id, r.score_e6) for r in search(spark, index_dir, spec).collect()]
+    want = [(r.doc_id, r.score_e6) for r in bm25_topk(transcripts, spec).collect()]
+    assert [g[0] for g in got] == [w[0] for w in want], (spec, got, want)
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= 1, (spec, gd, gs, ws)

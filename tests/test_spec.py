@@ -66,3 +66,31 @@ def test_match_all_and_cache_key():
 def test_all_scored_terms_covers_phrases():
     s = QuerySpec(terms=("a",), phrases=(("b", "c"), ("a", "d")))
     assert s.all_scored_terms() == ("a", "b", "c", "d")
+
+
+# Property: the query-string grammar never crashes and always yields
+# analyzed (lowercase [a-z0-9]+) terms, for ANY ascii input incl.
+# unbalanced quotes (auto-closed per ESRequestUtils.scala:299-302).
+import re as _re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from newsleak_spark.analysis import analyze
+
+_TOKEN_RE = _re.compile(r"^[a-z0-9]+$")
+_ASCII_Q = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=120
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ASCII_Q)
+def test_parse_query_string_total_and_analyzed(q):
+    terms, phrases = parse_query_string(q, analyzer=analyze)
+    for t in terms:
+        assert _TOKEN_RE.match(t), (q, t)
+    for p in phrases:
+        assert p, (q, phrases)  # no empty phrase tuples
+        for t in p:
+            assert _TOKEN_RE.match(t), (q, p)
