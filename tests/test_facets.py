@@ -91,3 +91,16 @@ def test_discover_facet_keys_follows_schema(spark):
         "doc_id long, conv_id string, text string, role string, tool string, env string",
     )
     assert discover_facet_keys(df) == ["env", "role", "tool"]
+
+
+def test_approx_cardinality_error_bound(spark):
+    """G5 approx path (HLL, the 100TB-scale cardinality): the estimate
+    must land within the default rsd's practical band of the exact
+    count on the highest-cardinality categorical column."""
+    from newsleak_spark import facets
+    from newsleak_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.01")
+    exact = facets.cardinality(t, "conv_id", exact=True).collect()[0]["n_distinct"]
+    approx = facets.cardinality(t, "conv_id", exact=False).collect()[0]["n_distinct"]
+    assert abs(approx - exact) / exact < 0.15, (approx, exact)
