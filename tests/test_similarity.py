@@ -109,3 +109,24 @@ def test_multiprobe_recovers_recall_with_fewer_tables(clustered):
     r0, r1 = recall(0), recall(1)
     assert r1 >= r0
     assert r1 >= 0.85, f"multi-probe recall {r1} (single-probe {r0})"
+
+
+def test_ivf_recall_on_clustered_data(clustered):
+    """IVF (k-means coarse quantizer, nprobe cells): on clustered data
+    the quantizer adapts to the cluster structure, so recall should be
+    near-perfect probing a few cells — the data-adaptive counterpart
+    to the data-oblivious hyperplane LSH."""
+    from newsleak_spark.similarity import ann_ivf_topk_df
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_cosine_topk_df(clustered, n_queries=5, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk_df(
+            clustered, n_queries=5, k=5, nlist=16, nprobe=3
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"IVF recall {recall}"
