@@ -337,6 +337,59 @@ FROM quant WHERE sim_e4 >= {int(NEARDUP_THRESHOLD * 10000)}
 ORDER BY doc_a, doc_b"""
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_embedding_lsh_df(_emb(spark, sf_dir))
+
+
+def dedup_embedding_lsh_df(
+    emb: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    seed: int = 42,
+    n_tables: int = LSH_TABLES,
+    n_bits: int = LSH_BITS,
+    dim: int = DIM,
+    max_bucket: int = MAX_ANN_BUCKET,
+) -> DataFrame:
+    """Embedding near-dup pairs AT SCALE: candidates from the LSH
+    bucket self-join (pairs sharing any of the n_tables buckets),
+    exact quantized-cosine verification on candidates only. This is
+    the scale route the exact all-pairs ``dedup_embedding_cosine`` is
+    deliberately scoped away from: pair emission is bounded per bucket
+    (max_bucket² worst case) instead of N², and the only shuffle is
+    the bucket equi-join. Recall vs the exact pairs is pinned on
+    clustered data in tests/test_similarity.py (near-dup corpora are
+    clustered by construction — that is what makes them near-dups)."""
+    e = emb.withColumn("nrm", _norm("embedding"))
+    udf = lsh_bucket_udf(seed, n_tables=n_tables, n_bits=n_bits, dim=dim)
+    b = e.select("vec_id", "embedding", "nrm", F.explode(udf("embedding")).alias("bucket"))
+    small = (
+        b.groupBy("bucket").agg(F.count("*").alias("m"))
+        .filter(F.col("m") <= max_bucket).select("bucket")
+    )
+    b = b.join(small, "bucket")
+    lhs = b.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    rhs = b.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    cand = (
+        lhs.join(rhs, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "ea", "na", "vb", "eb", "nb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .withColumn("sim_e4", F.round(F.col("sim") * 10000).cast("long"))
+        .filter(F.col("sim_e4") >= int(threshold * 10000))
+        .select(F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"), "sim_e4")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF scale path (k-means coarse quantizer + nprobe cell probing)
 # ---------------------------------------------------------------------------
@@ -430,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,  # no SQL oracle: rows-only check
         "ann_ivf_topk": ann_ivf_topk,  # no SQL oracle: rows-only check
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_lsh": dedup_embedding_lsh,  # no SQL oracle: rows-only
     }
 
 

@@ -130,3 +130,44 @@ def test_ivf_recall_on_clustered_data(clustered):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"IVF recall {recall}"
+
+
+def test_embedding_lsh_dedup_recall_on_clustered_data(clustered):
+    """The LSH near-dup path must find (nearly) every pair the exact
+    all-pairs threshold finds, from bucketed candidates only — the
+    scale route dedup_embedding_cosine's scoped exact version defers
+    to. Threshold 0.85: intra-cluster pairs qualify, cross-cluster
+    pairs (~cosine 0) never do."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from newsleak_spark.similarity import (
+        _dot, _norm, dedup_embedding_lsh_df,
+    )
+
+    thr = 0.85
+    # exact truth on a bounded slice (all-pairs over 300 vectors)
+    e = clustered.filter(F.col("vec_id") < 300).withColumn("nrm", _norm("embedding"))
+    a = e.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    truth = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("sim", _dot("ea", "eb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= thr)
+        .collect()
+    }
+    assert truth, "fixture must contain near-dup pairs at this threshold"
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_embedding_lsh_df(
+            clustered.filter(F.col("vec_id") < 300), threshold=thr,
+            n_tables=8, n_bits=8,
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"LSH near-dup recall {recall} ({len(truth)} true pairs)"
+    # precision is exact by construction (candidates are verified
+    # against the same threshold before emission)
+    assert all(p in truth for p in got), "verified pairs must satisfy the threshold"
