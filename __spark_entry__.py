@@ -69,7 +69,7 @@ _GATE_PRIORITY = [
     "f3_entity_filter", "f4_keyword_filter", "f9_docs_multifield",
     "f10_match_tool", "f11_blacklist_merge_facet", "g2_keyterm_facet",
     "g3_facet_all", "g4_typed_facet",
-    "j1_tags_labels", "j3_duplicates", "j4_hits_metadata",
+    "j1_tags_labels", "j3_duplicates", "ev_asof_join",
     "p2_highlight", "a10_dict_extract",
 ]
 

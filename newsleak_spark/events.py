@@ -12,6 +12,9 @@ oracled; the ingest side of streaming lives in streaming.py):
   ev_sessionize   gap-based sessionization (30-min inactivity): lag +
                   running sum over a user-keyed window — the batch twin
                   of applyInPandasWithState session windows
+  ev_asof_join    AS-OF join (purchase → latest strictly-prior click
+                  per user) as union + running last over ONE user-keyed
+                  window — the range-join-free rewrite
   ev_json_props   dynamic JSON props extraction (newsleak's dynamic
                   metadata fields analog, Postgres2ElasticsearchIndexer
                   .java:402-424, as a semi-structured column)
@@ -118,11 +121,62 @@ def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (Spark has no native one): each ``purchase`` event
+    matched to the user's most recent STRICTLY-prior ``click``.
+
+    Rewrite as a composition of built-ins: tag both sides, union, one
+    user-keyed window ordered (us, kind, event_id) with a running
+    ``last(click, ignorenulls)`` — a single shuffle on user_id and one
+    in-partition scan, instead of a range join that would fan out to
+    |purchases|·|clicks| per user before filtering. Equal-timestamp
+    clicks sort AFTER the purchase (kind 1 > 0), making the strict
+    semantics exact; ties among equal-us clicks resolve to the highest
+    event_id (the last in window order) in both engines."""
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", F.lit(0).alias("kind"),
+        F.col("event_id"), F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "us", F.lit(1).alias("kind"),
+        F.col("event_id"), F.col("event_id").alias("click_id"),
+        F.col("us").alias("click_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    u = purchases.unionByName(clicks).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_us", ignorenulls=True).over(w).alias("last_click_us"),
+    )
+    return (
+        u.filter(F.col("kind") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("last_click_id").alias("click_id"),
+            F.floor((F.col("us") - F.col("last_click_us")) / 1_000_000).cast("long").alias("gap_sec"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ev_window_agg": ev_window_agg,
         "ev_sessionize": ev_sessionize,
         "ev_json_props": ev_json_props,
+        "ev_asof_join": ev_asof_join,
     }
 
 
@@ -155,6 +209,24 @@ sess AS (
 SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(FLOOR((MAX(us) - MIN(us)) / 1000000.0) AS BIGINT) AS duration_sec
 FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+        # mirror of the Spark union+running-last construction (not
+        # DuckDB's native ASOF JOIN, whose equal-timestamp tie rules
+        # are not parameterizable): strictly-prior click, ties among
+        # equal-us clicks to the highest event_id
+        "ev_asof_join": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+       (SELECT c.event_id FROM c
+        WHERE c.user_id = p.user_id AND c.us < p.us
+        ORDER BY c.us DESC, c.event_id DESC LIMIT 1) AS click_id,
+       (SELECT CAST(FLOOR((p.us - c.us) / 1000000.0) AS BIGINT) FROM c
+        WHERE c.user_id = p.user_id AND c.us < p.us
+        ORDER BY c.us DESC, c.event_id DESC LIMIT 1) AS gap_sec
+FROM p ORDER BY purchase_id""",
         "ev_json_props": """
 SELECT event_type,
        COUNT(k) AS n_with_k,
