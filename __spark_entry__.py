@@ -34,6 +34,7 @@ from newsleak_spark import similarity
 from newsleak_spark import curation
 from newsleak_spark import events
 from newsleak_spark import multimodal
+from newsleak_spark import sources
 from newsleak_spark.analysis import analyze
 from newsleak_spark.query.spec import parse_query_string, parse_time_range
 
@@ -66,8 +67,9 @@ _GATE_PRIORITY = [
     "mm_metadata", "mm_frame_sample", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",
-    "f3_entity_filter", "f4_keyword_filter", "f9_docs_multifield",
-    "f10_match_tool", "f11_blacklist_merge_facet", "g2_keyterm_facet",
+    "s2_es_source", "s7_metadata_csv",
+    "f3_entity_filter", "f9_docs_multifield",
+    "f11_blacklist_merge_facet", "g2_keyterm_facet",
     "g3_facet_all", "g4_typed_facet",
     "j1_tags_labels", "j3_duplicates", "ev_asof_join",
     "p2_highlight", "a10_dict_extract",
@@ -267,6 +269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(multimodal.queries())
     # event-time stream idioms over the events table (windows, sessions, JSON)
     q.update(events.queries())
+    # external-ingest sources (S2 ES export, S7 metadata CSV), physical round-trip
+    q.update(sources.queries())
     return _gate_order(q)
 
 
@@ -383,4 +387,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(similarity.oracle_sql())
     o.update(multimodal.oracle_sql())
     o.update(events.oracle_sql())
+    o.update(sources.oracle_sql())
     return _gate_order(o)
