@@ -35,6 +35,7 @@ from newsleak_spark import curation
 from newsleak_spark import events
 from newsleak_spark import multimodal
 from newsleak_spark import sources
+from newsleak_spark import annotate
 from newsleak_spark.analysis import analyze
 from newsleak_spark.query.spec import parse_query_string, parse_time_range
 
@@ -59,6 +60,7 @@ _GATE_PRIORITY = [
     "e4_engine_facet", "e5_engine_hit_count",
     "f1_bm25_and", "f8_parsed_query",
     "f6_timex_range", "a4_paragraphs",
+    "a11_timex_tag", "a12_ner", "f6_timex_tagged",
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "lang_id", "quality_score", "token_count",
@@ -71,8 +73,7 @@ _GATE_PRIORITY = [
     "f3_entity_filter", "f9_docs_multifield",
     "f11_blacklist_merge_facet", "g2_keyterm_facet",
     "g3_facet_all", "g4_typed_facet",
-    "j1_tags_labels", "j3_duplicates", "ev_asof_join",
-    "p2_highlight", "a10_dict_extract",
+    "ev_asof_join", "p2_highlight",
 ]
 
 
@@ -271,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(events.queries())
     # external-ingest sources (S2 ES export, S7 metadata CSV), physical round-trip
     q.update(sources.queries())
+    # A11 temporal tagging / A12 NER rule annotators (+ F6 over A11 output)
+    q.update(annotate.queries())
     return _gate_order(q)
 
 
@@ -388,4 +391,5 @@ def oracle_sql() -> dict[str, str]:
     o.update(multimodal.oracle_sql())
     o.update(events.oracle_sql())
     o.update(sources.oracle_sql())
+    o.update(annotate.oracle_sql())
     return _gate_order(o)
