@@ -72,6 +72,9 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "mm_decode_features",
+    "a11_timex_tag",
+    "a12_ner",
+    "s2_es_source",
 ]
 
 

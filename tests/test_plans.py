@@ -196,3 +196,22 @@ def test_redact_terms_no_shuffle(spark):
 
     plan = plan_of(textops.redact_terms(spark, "/root/testdata/sf0.001"), "simple")
     assert "Join" not in plan
+
+
+def test_s2_source_explicit_schema_no_shuffle(spark, tmp_path):
+    """The S2 export read must carry its explicit schema (a JSON scan
+    with NO schema triggers a whole-extra inference pass over 100 TB)
+    and assemble text as codegen'd expressions: no Exchange, no
+    BatchEvalPython in the plan."""
+    import json as _json
+
+    from newsleak_spark import sources
+
+    p = tmp_path / "exp"
+    p.mkdir()
+    (p / "a.json").write_text(_json.dumps({"_id": "x", "_source": {"text": "b"}}))
+    df = sources.load_es_export(spark, str(p))
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    assert df.schema["text"].dataType.simpleString() == "string"
+    assert df.schema["created"].dataType.simpleString() == "timestamp"

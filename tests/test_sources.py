@@ -110,6 +110,25 @@ def test_metadata_csv_roundtrip_exact(spark, tmp_path):
     assert got == want
 
 
+def test_es_export_feeds_index_engine(spark, tmp_path):
+    """End-to-end: S2 export → transcript adapter → build_index →
+    engine search finds the assembled text (the reference pipeline:
+    Hoover read → ES temp index → fulltext query)."""
+    from newsleak_spark.indexing import IndexConfig, build_index
+    from newsleak_spark.query import QuerySpec
+    from newsleak_spark.query.engine import search
+
+    docs = [
+        {"_id": f"m{i}", "_source": {"subject": "quarterly numbers", "text": f"revenue grew {i} percent"}}
+        for i in range(20)
+    ] + [{"_id": "z", "_source": {"text": "nothing relevant here"}}]
+    t = es_docs_as_transcripts(load_es_export(spark, _write_ndjson(tmp_path, docs)))
+    d = str(tmp_path / "idx")
+    build_index(spark, t, d, IndexConfig(n_shards=2, n_term_buckets=4, block_size=16))
+    hits = search(spark, d, QuerySpec(terms=("revenue", "quarterly"), k=30)).collect()
+    assert len(hits) == 20  # AND of body+subject terms — the 'z' doc excluded
+
+
 def test_metadata_csv_is_distributed_write(spark, tmp_path):
     meta = (
         spark.range(100)

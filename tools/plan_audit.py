@@ -27,6 +27,16 @@ def plan_of(df, mode="formatted") -> str:
     return buf.getvalue()
 
 
+def _s2_export_path(spark) -> str:
+    """Materialize the S2 NDJSON fixture (same path the gate query
+    writes) so the audited plan is the real file scan."""
+    from newsleak_spark import sources
+
+    sources._s2_es_source(spark, SF).limit(1).collect()
+    tag = SF.strip("/").replace("/", "_")
+    return f"/tmp/newsleak_es_export_{tag}"
+
+
 def main() -> None:
     spark = get_spark(cores=8)
     import __spark_entry__ as entry
@@ -98,6 +108,29 @@ def main() -> None:
             "window (single exchange on user_id) — the range-join-free "
             "rewrite.",
             __import__("newsleak_spark.events", fromlist=["events"]).ev_asof_join(spark, SF),
+        ),
+        (
+            "A11 temporal tagging",
+            "Row-local regexp extraction fully inside WholeStageCodegen — "
+            "no Exchange anywhere in the tagging plan (parallelism "
+            "follows the scan; explode is a per-partition Generate).",
+            __import__("newsleak_spark.annotate", fromlist=["annotate"]).tag_timex(t),
+        ),
+        (
+            "A12 NER entity frequencies",
+            "Three codegen'd extraction branches unioned, ONE exchange "
+            "for the (type, entity) agg with map-side partial_count — "
+            "the S5 upsert-as-agg shape.",
+            __import__("newsleak_spark.annotate", fromlist=["annotate"]).entity_frequencies(t),
+        ),
+        (
+            "S2 ES-export source",
+            "NDJSON scan with EXPLICIT schema (no inference job), header/"
+            "body assembly as codegen'd expressions over the _source "
+            "struct — no UDF, no shuffle.",
+            __import__("newsleak_spark.sources", fromlist=["sources"]).load_es_export(
+                spark, _s2_export_path(spark)
+            ),
         ),
     ]
 
