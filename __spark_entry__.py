@@ -61,6 +61,7 @@ _GATE_PRIORITY = [
     "f1_bm25_and", "f8_parsed_query",
     "f6_timex_range", "a4_paragraphs",
     "a11_timex_tag", "a12_ner", "f6_timex_tagged",
+    "f3_entity_extracted", "g4_entity_typed_facet",
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "lang_id", "quality_score", "token_count",
@@ -70,8 +71,7 @@ _GATE_PRIORITY = [
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",
     "s2_es_source", "s7_metadata_csv",
-    "f3_entity_filter", "f9_docs_multifield",
-    "f11_blacklist_merge_facet", "g2_keyterm_facet",
+    "f9_docs_multifield", "f11_blacklist_merge_facet",
     "g3_facet_all", "g4_typed_facet",
     "ev_asof_join", "p2_highlight",
 ]

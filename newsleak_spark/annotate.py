@@ -287,11 +287,43 @@ def _a12_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_frequencies(_with_fixture(spark, sf_dir))
 
 
+_F3_ENTITY = "Alice Johnson"
+
+
+def _f3_entity_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 over A12 output — the reference wiring (entity filter is a
+    terms query on NER-derived per-doc entity ids,
+    ESRequestUtils.scala entity filter). Row-local extraction feeds the
+    filter, so no join: the doc set is a filtered projection."""
+    ents = extract_entities(_with_fixture(spark, sf_dir))
+    return (
+        ents.filter((F.col("ent_type") == "PER") & (F.col("entity") == _F3_ENTITY))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+def _g4_entity_typed_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 typed facet over A12 output: top locations by document count
+    (ES filtered terms agg over one entity type)."""
+    ents = extract_entities(_with_fixture(spark, sf_dir))
+    return (
+        ents.filter(F.col("ent_type") == "LOC")
+        .groupBy("entity")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "entity")
+        .limit(10)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a11_timex_tag": _a11_timex_tag,
         "f6_timex_tagged": _f6_timex_tagged,
         "a12_ner": _a12_ner,
+        "f3_entity_extracted": _f3_entity_extracted,
+        "g4_entity_typed_facet": _g4_entity_typed_facet,
     }
 
 
@@ -328,5 +360,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ent_type, entity, COUNT(*) AS frequency FROM ents\n"
         "GROUP BY ent_type, entity\n"
         "ORDER BY frequency DESC, ent_type, entity"
+    )
+    o["f3_entity_extracted"] = (
+        f"{prelude},\n"
+        f"ents AS ({ents})\n"
+        "SELECT DISTINCT doc_id FROM ents\n"
+        f"WHERE ent_type = 'PER' AND entity = '{_F3_ENTITY}'\n"
+        "ORDER BY doc_id"
+    )
+    o["g4_entity_typed_facet"] = (
+        f"{prelude},\n"
+        f"ents AS ({ents})\n"
+        "SELECT entity, COUNT(DISTINCT doc_id) AS n_docs FROM ents\n"
+        "WHERE ent_type = 'LOC'\n"
+        "GROUP BY entity ORDER BY n_docs DESC, entity LIMIT 10"
     )
     return o
