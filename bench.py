@@ -332,16 +332,35 @@ def _run_scaling(n_turns: int) -> dict:
     out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(SCALING_HISTORY, "a") as f:
         f.write(json.dumps(out) + "\n")
+    reselect_scaling_cache(n_turns, fallback=out)
+    return out
+
+
+def reselect_scaling_cache(n_turns: int, fallback: dict | None = None) -> dict:
+    """Recompute tools/scaling_result.json from the full run history
+    (also callable offline after a selection-policy change)."""
     with open(SCALING_HISTORY) as f:
         runs = [json.loads(line) for line in f if line.strip()]
     # only runs of the SAME configuration compete — a best-of across
     # different n_turns would let an old 800k run mask a 2.4M request
-    runs = [r for r in runs if r.get("n_turns") == n_turns] or [out]
+    runs = [r for r in runs if r.get("n_turns") == n_turns] or (
+        [fallback] if fallback else runs
+    )
+    # validity: strong-scaling efficiency CANNOT genuinely exceed 1 —
+    # a run above ~1.05 means the N=1 baseline leg caught host
+    # contention the 4N leg escaped (e.g. 14:07 run: baseline build
+    # 272 s vs typical ~148 s, raw "efficiency" 1.42). Such runs stay
+    # in the history but are excluded from headline selection and the
+    # best/median summary: they'd overstate scaling, the exact bias
+    # the vs-ceiling selection exists to avoid.
+    valid = [r for r in runs if r.get("efficiency", 0.0) <= 1.05] or runs
+    n_excluded = len(runs) - len(valid)
     # select the headline run by efficiency RELATIVE to the same-moment
     # hardware ceiling, not raw efficiency: best-raw would let a lucky
     # quiet-host window headline even when hw_speedup explains it. The
     # raw distribution (best + median) rides along so no single-run
     # luck, up or down, hides in the summary.
+    runs = valid
     raw_effs = sorted(r.get("efficiency", 0.0) for r in runs)
     mid = len(raw_effs) // 2
     median_raw = (
@@ -350,14 +369,20 @@ def _run_scaling(n_turns: int) -> dict:
     best = max(runs, key=lambda r: r.get("efficiency_vs_hw_ceiling", 0.0))
     best = {
         **best,
-        "selected": f"best_efficiency_vs_hw_ceiling_of_{len(runs)}_runs (see scaling_history.jsonl)",
+        "selected": f"best_efficiency_vs_hw_ceiling_of_{len(runs)}_runs"
+        + (
+            f" ({n_excluded} implausible >1.05-efficiency run(s) excluded: baseline-leg contention)"
+            if n_excluded
+            else ""
+        )
+        + " (see scaling_history.jsonl)",
         "best_raw_efficiency": round(max(raw_effs), 3),
         "median_raw_efficiency": round(median_raw, 3),
         "n_runs": len(runs),
     }
     with open(SCALING_CACHE, "w") as f:
         json.dump(best, f, indent=1)
-    return out
+    return best
 
 
 def main() -> None:
