@@ -64,6 +64,7 @@ _GATE_PRIORITY = [
     "f3_entity_extracted", "g4_entity_typed_facet",
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_cluster",
     "dedup_simhash", "lang_id", "quality_score", "token_count",
     "fingerprint", "a7_not_fulltext",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
@@ -73,7 +74,7 @@ _GATE_PRIORITY = [
     "s2_es_source", "s7_metadata_csv",
     "f9_docs_multifield", "f11_blacklist_merge_facet",
     "g3_facet_all", "g4_typed_facet",
-    "ev_asof_join", "p2_highlight",
+    "ev_asof_join",
 ]
 
 

@@ -64,6 +64,7 @@ HEADLINE = [
     "f6_timex_range",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster",
     "dedup_simhash",
     "decontaminate",
     "domain_mix",

@@ -11,6 +11,8 @@ Ops:
   dedup_ngram_jaccard  3-gram shingle self-join → exact Jaccard pairs
   dedup_minhash_lsh  MinHash signatures (lexicographic min of md5-salted
                      shingle hashes) → banded LSH bucket join → pairs
+  dedup_cluster      connected components over the LSH pair graph
+                     (large-star/small-star) → canonical doc per cluster
   dedup_simhash      16-bit SimHash from md5 nibbles (tf-weighted)
   lang_id            stopword-hit heuristic language ID
   quality_score      length / TTR / stopword-ratio quality features
@@ -225,6 +227,105 @@ def dedup_minhash_lsh(
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Distributed connected components over an edge DataFrame
+    ``(u, v)`` (any orientation, self-loops ignored) via alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+
+    Returns ``(node, comp)`` with ``comp`` = the minimum node id of the
+    component. Each half-round is ONE groupBy(u) + ONE equi-join on u —
+    both shuffle on the same key, so a round is a single partitioning —
+    and converges in O(log² n) rounds (near-dup graphs, which are
+    unions of LSH-bucket cliques, converge in 2-3). The edge set lives
+    entirely in DataFrames (no driver-side graph, no collect); lineage
+    is truncated per round with localCheckpoint so the plan does not
+    grow with the iteration count. Fixpoint is detected by a monotone
+    (count, xxhash-sum) signature: star labels only ever decrease, so a
+    stable signature means a stable edge set.
+    """
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+        )
+
+    cur = _canon(edges).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every node links its strictly-greater neighbors
+        # to m(u) = min(N(u) ∪ {u})
+        sym = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m_ls = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        ls = _canon(
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_ls, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: orient edges larger→smaller; every node links its
+        # smaller neighbors (and itself) to the minimum
+        ori = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m_ss = ori.groupBy("u").agg(F.min("v").alias("m"))
+        ss = ori.join(m_ss, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            m_ss.select(F.col("u"), F.col("m").alias("v"))
+        )
+        cur = _canon(ss).localCheckpoint()
+        sig = cur.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # converged edge set is a union of stars (root = component min);
+    # min-agg once more so a non-converged max_iter exit still yields a
+    # consistent (if unconverged) labeling rather than duplicate rows
+    labels = (
+        cur.select(F.col("b").alias("node"), F.col("a").alias("comp"))
+        .union(cur.select(F.col("a").alias("node"), F.col("a").alias("comp")))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    return labels
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS from the MinHash-LSH candidate pairs:
+    the step that turns pairwise dup evidence into a deduplicated
+    corpus. Connected components (large-star/small-star, above) over
+    the pair graph; each clustered doc maps to its cluster minimum
+    (the kept canonical), with the cluster size and a keep flag.
+
+    At 100 TB this is the only sound way to apply pairwise dedup: the
+    pair relation is not transitive-closed (a≈b, b≈c but a,c never
+    co-bucketed), so keep/drop decisions on raw pairs double-drop or
+    double-keep; the component labeling makes one decision per cluster.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("n_docs"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            "n_docs",
+            (F.col("node") == F.col("comp")).alias("is_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc, tf-weighted, bits from md5 nibbles.
 
@@ -436,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster": dedup_cluster,
         "dedup_simhash": dedup_simhash,
         "lang_id": lang_id,
         "quality_score": quality_score,
@@ -477,8 +579,8 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b"""
 
-    o["dedup_minhash_lsh"] = f"""
-WITH {_SHINGLES_SQL.strip()},
+    # MinHash CTE chain shared by the pairs op and the cluster op
+    minhash_ctes = f"""{_SHINGLES_SQL.strip()},
 sig AS (
   SELECT doc_id, i, MIN(md5(sh || '#' || CAST(i AS VARCHAR))) AS mh
   FROM sh, UNNEST(range({N_MINHASH})) AS u(i)
@@ -493,11 +595,35 @@ small AS (
   SELECT band, band_key FROM bands GROUP BY band, band_key
   HAVING COUNT(*) <= {MAX_BUCKET}
 ),
-bc AS (SELECT b.* FROM bands b JOIN small USING (band, band_key))
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bc a JOIN bc b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b"""
+bc AS (SELECT b.* FROM bands b JOIN small USING (band, band_key)),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bc a JOIN bc b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+    o["dedup_minhash_lsh"] = f"""
+WITH {minhash_ctes}
+SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b"""
+
+    # connected components over the pair graph: min-reachable-node
+    # label via recursive reachability (small clusters, so enumerating
+    # (node, reachable) pairs is cheap at oracle scale)
+    o["dedup_cluster"] = f"""
+WITH RECURSIVE {minhash_ctes},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+),
+reach(node, comp) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+),
+lbl AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lbl GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, sz.n_docs, l.doc_id = l.cluster_id AS is_keep
+FROM lbl l JOIN sz USING (cluster_id) ORDER BY doc_id"""
 
     o["dedup_simhash"] = f"""
 WITH tf AS (

@@ -91,6 +91,14 @@ def main() -> None:
             textops.dedup_minhash_lsh(spark, SF),
         ),
         (
+            "Dedup clustering (connected components)",
+            "Large-star/small-star rounds: each half-round is one "
+            "groupBy(u) + one equi-join on u (same shuffle key), edge "
+            "set localCheckpointed per round (plan does not grow with "
+            "iterations); no cartesian, no driver-side graph.",
+            textops.dedup_cluster(spark, SF),
+        ),
+        (
             "n-gram Jaccard dedup",
             "Shingle df-cap filter feeding the self-join on the same sh "
             "key; no cartesian.",
