@@ -71,9 +71,9 @@ _GATE_PRIORITY = [
     "mm_metadata", "mm_frame_sample", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",
+    "stratified_sample", "ngram_counts",
     "s2_es_source", "s7_metadata_csv",
     "f9_docs_multifield", "f11_blacklist_merge_facet",
-    "g3_facet_all", "g4_typed_facet",
     "ev_asof_join",
 ]
 

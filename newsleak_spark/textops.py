@@ -19,6 +19,9 @@ Ops:
   token_count        whitespace + BPE-ish regex token counts
   fingerprint        document fingerprint (md5 of canonical token form)
   a7_not_fulltext    newsleak's boilerplate flag (SegmenterICU.java:223-266)
+  stratified_sample  deterministic train/eval split + per-language
+                     downsampling by content-stable hash (map-only)
+  ngram_counts       corpus bigram counts, deterministic top-100
   decontaminate      benchmark n-gram leak detection (eval-set overlap)
   redact_terms       sensitive-term redaction (regex pass + fingerprint)
   domain_mix         per-(source, lang) mixture composition report
@@ -366,6 +369,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.orderBy("doc_id")
 
 
+SAMPLE_SALT = "nlsp"
+EVAL_E4 = 1000  # 10% eval carve, content-stable
+# per-language mixture rates (basis points kept); unlisted = keep all.
+# The dominant language is downsampled — the standard mixture-control
+# move a training pipeline applies before tokenization.
+LANG_RATE_E4 = {"en": 6000}
+
+
+def _hash_u(col: F.Column, salt: str) -> F.Column:
+    """Deterministic uniform [0, 10000) from md5 — identical in Spark
+    and DuckDB, so sampling decisions are reproducible across engines,
+    reruns, and cluster sizes (no RNG, no partition dependence)."""
+    h = F.md5(F.concat_ws("#", col.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split + per-language stratified
+    downsampling by content-stable hash.
+
+    Two independent hash draws per doc: one carves a fixed eval slice
+    (never downsampled — eval must stay representative), one thins the
+    train side to the per-stratum rate. Pure row-local expressions —
+    at 100 TB this is a map-only scan with zero shuffles (the orderBy
+    here is gate determinism only); the same doc lands in the same
+    split at any scale or partitioning because the draw depends only
+    on doc_id.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    us = _hash_u(F.col("doc_id"), SAMPLE_SALT + "-split")
+    uk = _hash_u(F.col("doc_id"), SAMPLE_SALT + "-keep")
+    rate = F.lit(10000)
+    for lang, r in LANG_RATE_E4.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    split = F.when(us < EVAL_E4, F.lit("eval")).otherwise(F.lit("train"))
+    return (
+        d.withColumn("split", split)
+        .filter((F.col("split") == "eval") | (uk < rate))
+        .select("doc_id", "source", "lang", "split")
+        .orderBy("doc_id")
+    )
+
+
+NGRAM_TOP = 100
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts, top-100 by (count desc, gram asc).
+
+    explode → hash-agg on the gram (map-side partial agg) → TakeOrdered
+    top-k: no full sort, one shuffle keyed on the gram. The total-order
+    tie-break makes the limit deterministic for the parity gate.
+    """
+    d = _docs(spark, sf_dir).select(_toks().alias("toks"))
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform("
+                "sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1])) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(NGRAM_TOP)
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: stopword-hit argmax over en/es/de lists
     (A8 analog — OpenNLP MaxEnt replaced by an n-gram/stopword heuristic;
@@ -539,6 +613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster": dedup_cluster,
         "dedup_simhash": dedup_simhash,
+        "stratified_sample": stratified_sample,
+        "ngram_counts": ngram_counts,
         "lang_id": lang_id,
         "quality_score": quality_score,
         "token_count": token_count,
@@ -644,6 +720,29 @@ bits AS (
 )
 SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash16
 FROM bits GROUP BY doc_id ORDER BY doc_id"""
+
+    rate_case = "CASE " + " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in LANG_RATE_E4.items()
+    ) + " ELSE 10000 END"
+    o["stratified_sample"] = f"""
+WITH s AS (
+  SELECT doc_id, source, lang,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#{SAMPLE_SALT}-split'), 1, 8)) AS UBIGINT) % 10000 AS us,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '#{SAMPLE_SALT}-keep'), 1, 8)) AS UBIGINT) % 10000 AS uk
+  FROM documents
+)
+SELECT doc_id, source, lang,
+       CASE WHEN us < {EVAL_E4} THEN 'eval' ELSE 'train' END AS split
+FROM s
+WHERE us < {EVAL_E4} OR uk < {rate_case}
+ORDER BY doc_id"""
+
+    o["ngram_counts"] = f"""
+SELECT gram, COUNT(*) AS n FROM (
+  SELECT t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM (SELECT {_TOKS_SQL} AS t FROM documents) x,
+       UNNEST(range(GREATEST(len(t) - 1, 0))) AS u(i)
+) GROUP BY gram ORDER BY n DESC, gram ASC LIMIT {NGRAM_TOP}"""
 
     o["lang_id"] = f"""
 WITH stop(lang, term) AS (VALUES {_vals('en', _EN_STOP)}, {_vals('es', _ES_STOP)}, {_vals('de', _DE_STOP)}),
