@@ -56,9 +56,10 @@ _TOKS = (
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
+    "e1_engine_not", "e1_engine_not_only",
     "e2_incremental_and", "e3_compacted_and",
     "e4_engine_facet", "e5_engine_hit_count",
-    "f1_bm25_and", "f8_parsed_query",
+    "f1_bm25_and", "f1_bm25_not", "f8_parsed_query",
     "f6_timex_range", "a4_paragraphs",
     "a11_timex_tag", "a12_ner", "f6_timex_tagged",
     "f3_entity_extracted", "g4_entity_typed_facet",
@@ -68,12 +69,11 @@ _GATE_PRIORITY = [
     "dedup_simhash", "lang_id", "quality_score", "token_count",
     "fingerprint", "a7_not_fulltext",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-    "mm_metadata", "mm_frame_sample", "mm_decode_features",
+    "mm_metadata", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",
     "stratified_sample", "ngram_counts",
     "s2_es_source", "s7_metadata_csv",
-    "f9_docs_multifield", "f11_blacklist_merge_facet",
     "ev_asof_join",
 ]
 
@@ -98,12 +98,15 @@ _SPECS = {
     "f7_bm25_boost": QuerySpec(terms=("table",), boost_terms=("spark",), k=20),
     "f1_bm25_nohit": QuerySpec(terms=("zzznohitzzz",), k=10),
     "t1_matchall": QuerySpec(k=20),
+    # F1 must_not: AND + exclusion, and a not-only (match_all minus) query
+    "f1_bm25_not": QuerySpec(terms=("table",), not_terms=("join",), k=20),
+    "f1_bm25_not_only": QuerySpec(not_terms=("table", "merge"), k=20),
 }
 
 # F8: the user-facing string forms — query_string with a quoted phrase
 # (auto-balanced quotes, ESRequestUtils.scala:299-302) and the 4-regex
 # time-range grammar (DateUtils.scala:58-74) — compiled into a spec.
-_F8_TERMS, _F8_PHRASES = parse_query_string('table "fast table', analyzer=analyze)
+_F8_TERMS, _F8_PHRASES, _ = parse_query_string('table "fast table', analyzer=analyze)
 _F8_FROM, _F8_TO = parse_time_range("2018-2019")
 _SPECS["f8_parsed_query"] = QuerySpec(
     terms=_F8_TERMS, phrases=_F8_PHRASES, ts_from=_F8_FROM, ts_to=_F8_TO, k=20
@@ -129,9 +132,13 @@ _ENGINE_SPECS = {
     "e1_engine_filtered": "f2_f5_bm25_filtered",
     "e1_engine_boost": "f7_bm25_boost",
     "e1_engine_union": None,  # boost-only scored union → BMW path
+    "e1_engine_not": "f1_bm25_not",
+    "e1_engine_not_only": "f1_bm25_not_only",
 }
 _UNION_SPEC = QuerySpec(terms=(), boost_terms=("merge", "window"), k=20)
 _E4_SPEC = QuerySpec(terms=("table",), role_filter=("user", "assistant"))
+# F1 must_not ('-term', queryStringQuery syntax — ESRequestUtils.scala:304-307)
+_NOT_UNION_SPEC = QuerySpec(boost_terms=("merge", "window"), not_terms=("filter",), k=20)
 
 
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
@@ -192,6 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[name] = _bm25_query(spec)
     for ename, ref in _ENGINE_SPECS.items():
         q[ename] = _engine_query(_SPECS[ref] if ref else _UNION_SPEC)
+    # must_not on the scored-union (BMW) path: exclusion must apply
+    # inside the union loop, not post-hoc (θ correctness)
+    q["e1_engine_union_not"] = _engine_query(_NOT_UNION_SPEC)
 
     def _inc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return search(spark, _engine_incremental_index(spark, sf_dir), _SPECS["f1_bm25_and"])
@@ -284,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         o[name] = bm25_topk_oracle_sql(spec)
     for ename, ref in _ENGINE_SPECS.items():
         o[ename] = bm25_topk_oracle_sql(_SPECS[ref] if ref else _UNION_SPEC)
+    o["e1_engine_union_not"] = bm25_topk_oracle_sql(_NOT_UNION_SPEC)
     o["e2_incremental_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
     o["e3_compacted_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
 

@@ -70,13 +70,16 @@ def compile_spec(
     mode: str = "standard",
 ) -> QuerySpec:
     """Request params → QuerySpec (the Facets binder analog)."""
-    terms, phrases = parse_query_string(query, analyzer=lambda s: analyze(s, mode))
+    terms, phrases, not_terms = parse_query_string(
+        query, analyzer=lambda s: analyze(s, mode)
+    )
     ts_from = ts_to = None
     if time_range:
         ts_from, ts_to = parse_time_range(time_range)
     return QuerySpec(
-        terms=terms, phrases=phrases, role_filter=tuple(roles),
-        tool_filter=tuple(tools), ts_from=ts_from, ts_to=ts_to, k=k,
+        terms=terms, phrases=phrases, not_terms=not_terms,
+        role_filter=tuple(roles), tool_filter=tuple(tools),
+        ts_from=ts_from, ts_to=ts_to, k=k,
     )
 
 

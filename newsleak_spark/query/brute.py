@@ -58,6 +58,14 @@ def score_expr(tf, df, dl, n_docs, avgdl):
     return idf * tf_norm
 
 
+def _not_filter(t: DataFrame, toks_col, spec: QuerySpec) -> DataFrame:
+    """F1 must_not ('-term') exclusion: row-local array_contains on the
+    given tokens column — no join, no extra scan."""
+    for nt in _sanitize(spec.not_terms):
+        t = t.filter(~F.array_contains(toks_col, nt))
+    return t
+
+
 def _apply_filters(t: DataFrame, spec: QuerySpec) -> DataFrame:
     if spec.role_filter:
         t = t.filter(F.col("role").isin(list(spec.role_filter)))
@@ -92,8 +100,8 @@ def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -
     )
 
     if not required and not boost:
-        # match_all: filters only, score pinned to 1.0
-        out = _apply_filters(base, spec).select(
+        # match_all: filters / exclusions only, score pinned to 1.0
+        out = _not_filter(_apply_filters(base, spec), F.col("toks"), spec).select(
             "doc_id", F.lit(1_000_000).cast("long").alias("score_e6")
         )
         return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
@@ -130,7 +138,7 @@ def bm25_topk(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard") -
 
     # candidate attrs for filters / phrases — semi-join back to the base table
     attrs = base.withColumn("joined", F.concat(F.lit(" "), F.array_join("toks", " "), F.lit(" ")))
-    attrs = _apply_filters(attrs, spec)
+    attrs = _not_filter(_apply_filters(attrs, spec), F.col("toks"), spec)
     for p in spec.phrases:
         attrs = attrs.filter(_phrase_predicate(F.col("joined"), p))
     scored = scored.join(attrs.select("doc_id"), "doc_id", "left_semi")
@@ -152,6 +160,8 @@ def matching_docs(transcripts: DataFrame, spec: QuerySpec, mode: str = "standard
     required = _sanitize(spec.all_scored_terms())
     boost = _sanitize(spec.boost_terms)
     out = transcripts
+    if spec.not_terms:
+        out = _not_filter(out, tokens_col(F.col("text"), mode), spec)
     if required or spec.phrases or boost:
         toks = tokens_col(F.col("text"), mode)
         pred = None
@@ -187,6 +197,11 @@ def bm25_topk_oracle_sql(spec: QuerySpec, from_documents: bool = True) -> str:
     boost = [t for t in _sanitize(spec.boost_terms) if t not in required]
 
     filters = []
+    for nt in _sanitize(spec.not_terms):
+        filters.append(
+            "NOT list_contains(regexp_extract_all(lower(text), "
+            f"'{STANDARD_TOKEN_RE}'), '{nt}')"
+        )
     if spec.role_filter:
         filters.append(f"role IN ({_sql_list(spec.role_filter)})")
     if spec.tool_filter:

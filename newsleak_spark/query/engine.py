@@ -225,6 +225,7 @@ def _make_shard_scorer(
     k: int,
     truncate: bool = True,
     safe_bounds: bool = False,
+    neg_terms: tuple[str, ...] = (),
 ):
     """Returns the applyInPandas function scoring one shard's blocks.
 
@@ -246,6 +247,10 @@ def _make_shard_scorer(
             if allowed.size == 0:
                 return empty
         by_term = {t: g for t, g in pdf.groupby("term")}
+        # must_not postings never score: peel them off before any path
+        # looks at by_term. Their blocks are decoded candidate-pruned
+        # (only block ranges overlapping surviving candidates pay IO).
+        neg = {t: by_term.pop(t) for t in neg_terms if t in by_term}
         if any(m.term not in by_term for m in required):
             return empty
 
@@ -255,6 +260,14 @@ def _make_shard_scorer(
                 return empty
             if allowed is not None:
                 mask = _member_mask(cand, allowed)
+                cand = cand[mask]
+                per_term = {t: (v[0][mask], v[1][mask]) for t, v in per_term.items()}
+                if cand.size == 0:
+                    return empty
+            if neg:
+                # exclusion BEFORE phrase checks: excluded docs never
+                # pay position decode
+                mask = ~_excluded_mask(cand, neg)
                 cand = cand[mask]
                 per_term = {t: (v[0][mask], v[1][mask]) for t, v in per_term.items()}
                 if cand.size == 0:
@@ -277,8 +290,16 @@ def _make_shard_scorer(
             out_docs, out_scores = cand, score
         else:
             # scored union (OR / boost-only): block-max WAND
+            # must_not inside the union loop (NOT post-hoc: an excluded
+            # doc in the running top-k would raise θ and wrongly prune
+            # chunks holding valid docs). Union candidates stream, so
+            # the neg lists can't be candidate-pruned — decode each
+            # once up front (sorted) and membership-test per chunk.
+            neg_arrays = [
+                _decode_term_blocks(g, False)[0] for g in neg.values()
+            ] if neg else []
             out_docs, out_scores = _bmw_union(
-                by_term, [m for m in metas if m.term in by_term], allowed
+                by_term, [m for m in metas if m.term in by_term], allowed, neg_arrays
             )
             if out_docs.size == 0:
                 return empty
@@ -296,6 +317,20 @@ def _make_shard_scorer(
         idx = np.searchsorted(allowed, docs)
         idx_c = np.minimum(idx, allowed.size - 1)
         return (idx < allowed.size) & (allowed[idx_c] == docs)
+
+    def _excluded_mask(docs, neg):
+        """True where a doc appears in ANY must_not term's postings.
+        Each neg list decodes only blocks whose [doc_first, doc_last]
+        range overlaps a surviving candidate — a hot excluded term
+        never pays full decode against a selective query."""
+        mask = np.zeros(docs.size, dtype=bool)
+        for g in neg.values():
+            rows = _prune_blocks_by_range(g, docs)
+            if len(rows) == 0:
+                continue
+            ndocs = _decode_term_blocks(rows, False)[0]
+            mask |= _member_mask(docs, ndocs)
+        return mask
 
     # applyInPandas arity is semantic: 1-arg = (pdf), 2-arg = (key, pdf);
     # cogroup 2-arg = (left, right) — expose explicit wrappers
@@ -404,7 +439,7 @@ def _make_shard_scorer(
         out[mask] = _bm25(ttfs[sel], tdls[sel], idf[t], avgdl)
         return out
 
-    def _bmw_union(by_term, present, allowed=None):
+    def _bmw_union(by_term, present, allowed=None, neg_arrays=()):
         """Block-max WAND over the union of posting lists.
 
         Doc space is chunked at the union of block boundaries; a chunk
@@ -567,6 +602,14 @@ def _make_shard_scorer(
                 uniq, sc = uniq[amask], sc[amask]
                 if uniq.size == 0:
                     continue
+            for narr in neg_arrays:
+                if narr.size:
+                    keep = ~_member_mask(uniq, narr)
+                    uniq, sc = uniq[keep], sc[keep]
+                    if uniq.size == 0:
+                        break
+            if uniq.size == 0:
+                continue
             top_docs = np.concatenate([top_docs, uniq])
             top_scores = np.concatenate([top_scores, sc])
             if truncate and top_docs.size > k:
@@ -624,11 +667,18 @@ def _candidates(
     has_filters = bool(spec.role_filter or spec.tool_filter or spec.ts_from or spec.ts_to)
     required = list(spec.all_scored_terms())
     boost = [t for t in spec.boost_terms if t not in required]
+    if any(t in spec.not_terms for t in required):
+        return None  # `a -a`: must AND must_not on one term → no hits
+    neg = [t for t in spec.not_terms if t not in boost]
     all_terms = required + boost
-    dict_rows = rd.dictionary_rows(all_terms)
+    dict_rows = rd.dictionary_rows(all_terms + neg)
     if any(t not in dict_rows for t in required):
         return None
     all_terms = [t for t in all_terms if t in dict_rows]
+    # a must_not term absent from the collection excludes nothing; a
+    # negated boost term stays in the fetch list only once (the scorer
+    # peels its postings into the neg set before any scoring looks)
+    neg = tuple(t for t in spec.not_terms if t in dict_rows)
     metas = [
         TermMeta(
             t,
@@ -638,9 +688,11 @@ def _candidates(
         )
         for t in all_terms
     ]
-    seg = rd.segments_for(all_terms, with_positions=bool(spec.phrases))
+    fetch_terms = all_terms + [t for t in neg if t not in all_terms]
+    seg = rd.segments_for(fetch_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
-        metas, spec.phrases, rd.avgdl, spec.k, truncate=truncate, safe_bounds=rd.multi
+        metas, spec.phrases, rd.avgdl, spec.k, truncate=truncate,
+        safe_bounds=rd.multi, neg_terms=neg,
     )
     if has_filters:
         # shard-local filtering: cogroup the shard's blocks with its
@@ -666,10 +718,17 @@ def search(
     rd = reader or _cached_reader(spark, index_dir)
 
     if not spec.all_scored_terms() and not spec.boost_terms:
-        # match_all / filters-only: no scoring, pinned score 1.0
+        # match_all / filters-only: no scoring, pinned score 1.0; a
+        # not-only query is match_all minus the neg union doc set
+        # (anti-join against the index's postings — text never read)
         out = _apply_meta_filters(rd.docmeta(), spec).select(
             "doc_id", F.lit(1_000_000).cast("long").alias("score_e6")
         )
+        if spec.not_terms:
+            neg_spec = QuerySpec(boost_terms=tuple(spec.not_terms))
+            ex = _candidates(spark, rd, neg_spec, truncate=False)
+            if ex is not None:
+                out = out.join(ex.select("doc_id"), "doc_id", "left_anti")
         return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
 
     cand = _candidates(spark, rd, spec, truncate=True)
@@ -696,7 +755,13 @@ def matching_doc_ids(
     rd = reader or _cached_reader(spark, index_dir)
 
     if not spec.all_scored_terms() and not spec.boost_terms:
-        return _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
+        out = _apply_meta_filters(rd.docmeta(), spec).select("doc_id")
+        if spec.not_terms:
+            neg_spec = QuerySpec(boost_terms=tuple(spec.not_terms))
+            ex = _candidates(spark, rd, neg_spec, truncate=False)
+            if ex is not None:
+                out = out.join(ex.select("doc_id"), "doc_id", "left_anti")
+        return out
 
     cand = _candidates(spark, rd, spec, truncate=False)
     if cand is None:

@@ -31,14 +31,15 @@ class QuerySpec:
     ts_from: dt.date | None = None              # F5 — inclusive
     ts_to: dt.date | None = None                # F5 — inclusive
     boost_terms: tuple[str, ...] = ()           # F7 — score-only should
+    not_terms: tuple[str, ...] = ()             # F1 — '-term' must_not
     k: int = 10
     mode: str = "AND"                           # default_operator=AND
 
     def is_match_all(self) -> bool:
         """Empty facets → match_all (ESRequestUtils.scala:275-276)."""
         return not (
-            self.terms or self.phrases or self.boost_terms or self.role_filter
-            or self.tool_filter or self.ts_from or self.ts_to
+            self.terms or self.phrases or self.boost_terms or self.not_terms
+            or self.role_filter or self.tool_filter or self.ts_from or self.ts_to
         )
 
     def cache_key(self) -> str:
@@ -56,35 +57,54 @@ class QuerySpec:
         return tuple(seen)
 
 
-def parse_query_string(q: str, analyzer=None) -> tuple[tuple[str, ...], tuple[tuple[str, ...], ...]]:
-    """Split a raw query string into (terms, phrases).
+def parse_query_string(
+    q: str, analyzer=None
+) -> tuple[tuple[str, ...], tuple[tuple[str, ...], ...], tuple[str, ...]]:
+    """Split a raw query string into (terms, phrases, not_terms).
 
     Quoted spans become phrases; an unbalanced quote is auto-closed at
-    end of string (ESRequestUtils.scala:299-302). ``analyzer`` (a
-    callable str -> list[str]) is applied to every term/phrase so query
-    terms live in the same term space as the index.
+    end of string (ESRequestUtils.scala:299-302). Outside quotes, a
+    word with a ``-`` prefix is a Lucene-query-string must_not (the
+    reference compiles fullTextSearch through queryStringQuery,
+    ESRequestUtils.scala:304-307, whose syntax includes ``-term``;
+    negated PHRASES are out of scope). ``analyzer`` (a callable
+    str -> list[str]) is applied to every term/phrase so query terms
+    live in the same term space as the index.
     """
     if q.count('"') % 2 == 1:
         q = q + '"'
     analyzer = analyzer or (lambda s: s.lower().split())
     terms: list[str] = []
     phrases: list[tuple[str, ...]] = []
+    not_terms: list[str] = []
     for i, chunk in enumerate(re.split(r'"', q)):
-        toks = analyzer(chunk)
-        if not toks:
-            continue
         if i % 2 == 1:  # inside quotes
+            toks = analyzer(chunk)
+            if not toks:
+                continue
             if len(toks) == 1:
                 terms.append(toks[0])
             else:
                 phrases.append(tuple(toks))
-        else:
-            terms.extend(toks)
-    # dedup terms, preserve order (AND of a repeated term is the same set)
+            continue
+        # outside quotes: peel '-'-prefixed words before analysis (the
+        # analyzer itself strips punctuation, so the prefix must be
+        # read from the raw word)
+        pos_words: list[str] = []
+        for w in chunk.split():
+            if w.startswith("-") and len(w) > 1:
+                not_terms.extend(analyzer(w[1:]))
+            else:
+                pos_words.append(w)
+        terms.extend(analyzer(" ".join(pos_words)))
+    # dedup, preserve order (AND of a repeated term is the same set)
     seen: dict[str, None] = {}
     for t in terms:
         seen.setdefault(t)
-    return tuple(seen), tuple(phrases)
+    seen_n: dict[str, None] = {}
+    for t in not_terms:
+        seen_n.setdefault(t)
+    return tuple(seen), tuple(phrases), tuple(seen_n)
 
 
 _YEAR_RE = re.compile(r"^(\d{4})$")

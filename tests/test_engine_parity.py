@@ -25,6 +25,15 @@ SPECS = [
     QuerySpec(terms=("nosuchterm",), k=10),
     QuerySpec(k=10),  # match_all
     QuerySpec(terms=("spark",), k=500),  # k > hits
+    # must_not ('-term'): AND path, union/BMW path, not-only, filtered,
+    # phrase+not, negated-absent-term, and the contradictory a AND -a
+    QuerySpec(terms=("table",), not_terms=("join",), k=10),
+    QuerySpec(boost_terms=("merge", "window"), not_terms=("filter",), k=12),
+    QuerySpec(not_terms=("table", "merge"), k=15),
+    QuerySpec(terms=("table",), not_terms=("join",), role_filter=("user",), k=10),
+    QuerySpec(phrases=(("fast", "table"),), not_terms=("spark",), k=10),
+    QuerySpec(terms=("table",), not_terms=("zzznothere",), k=10),
+    QuerySpec(terms=("table",), not_terms=("table",), k=10),  # → no hits
 ]
 
 
@@ -159,6 +168,7 @@ _spec_st = st.builds(
     QuerySpec,
     terms=st.lists(st.sampled_from(_POOL), min_size=0, max_size=3, unique=True).map(tuple),
     boost_terms=st.lists(st.sampled_from(_POOL), min_size=0, max_size=2, unique=True).map(tuple),
+    not_terms=st.lists(st.sampled_from(_POOL), min_size=0, max_size=2, unique=True).map(tuple),
     role_filter=st.sampled_from([(), ("user",), ("user", "tool")]),
     tool_filter=st.sampled_from([(), ("tool_3",)]),
     ts_from=st.sampled_from([None, _dt.date(2018, 6, 1)]),

@@ -6,33 +6,55 @@ from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_
 
 
 def test_parse_terms_and_phrase():
-    terms, phrases = parse_query_string('deploy failure "exact phrase here"')
+    terms, phrases, _ = parse_query_string('deploy failure "exact phrase here"')
     assert terms == ("deploy", "failure")
     assert phrases == (("exact", "phrase", "here"),)
 
 
 def test_unbalanced_quote_autoclosed():
     # ESRequestUtils.scala:299-302
-    terms, phrases = parse_query_string('alpha "beta gamma')
+    terms, phrases, _ = parse_query_string('alpha "beta gamma')
     assert terms == ("alpha",)
     assert phrases == (("beta", "gamma"),)
 
 
 def test_quoted_single_token_is_term():
-    terms, phrases = parse_query_string('"solo" other')
+    terms, phrases, _ = parse_query_string('"solo" other')
     assert terms == ("solo", "other")
     assert phrases == ()
 
 
+def test_not_terms_parsed():
+    terms, phrases, not_terms = parse_query_string('merge -join "fast table" -window')
+    assert terms == ("merge",)
+    assert phrases == (("fast", "table"),)
+    assert not_terms == ("join", "window")
+
+
+def test_not_prefix_only_outside_quotes():
+    terms, _, not_terms = parse_query_string('"a -b" c')
+    # inside quotes '-' is analyzer noise, not negation
+    assert not_terms == ()
+    assert "c" in terms
+
+
+def test_hyphenated_word_is_not_negation():
+    from newsleak_spark.analysis import analyze
+
+    terms, _, not_terms = parse_query_string("state-of-the-art", analyzer=analyze)
+    assert not_terms == ()
+    assert terms == ("state", "of", "the", "art")
+
+
 def test_duplicate_terms_dedup():
-    terms, _ = parse_query_string("x y x")
+    terms, _, _ = parse_query_string("x y x")
     assert terms == ("x", "y")
 
 
 def test_analyzer_applied_to_query():
     from newsleak_spark.analysis import analyze_english
 
-    terms, _ = parse_query_string("The Manager's reports", analyzer=analyze_english)
+    terms, _, _ = parse_query_string("The Manager's reports", analyzer=analyze_english)
     assert terms == ("manag", "report")
 
 
@@ -87,8 +109,10 @@ _ASCII_Q = st.text(
 @settings(max_examples=300, deadline=None)
 @given(_ASCII_Q)
 def test_parse_query_string_total_and_analyzed(q):
-    terms, phrases = parse_query_string(q, analyzer=analyze)
+    terms, phrases, not_terms = parse_query_string(q, analyzer=analyze)
     for t in terms:
+        assert _TOKEN_RE.match(t), (q, t)
+    for t in not_terms:
         assert _TOKEN_RE.match(t), (q, t)
     for p in phrases:
         assert p, (q, phrases)  # no empty phrase tuples
