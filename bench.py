@@ -48,6 +48,7 @@ HEADLINE = [
     "e1_engine_phrase",
     "e1_engine_filtered",
     "e1_engine_boost",
+    "e1_engine_not",
     "e2_incremental_and",
     "f1_bm25_and",
     "t1_matchall",

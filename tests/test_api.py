@@ -49,6 +49,21 @@ def test_get_docs_shape_and_highlight(api):
         assert set(d["metadata"]) == {"conv_id", "turn_idx", "role", "tool", "ts"}
 
 
+def test_get_docs_not_query(api, api_noindex, transcripts):
+    """'-term' flows request-string → compile_spec → engine/brute."""
+    spec = QuerySpec(terms=("table",), not_terms=("join",), k=10)
+    want = [r["doc_id"] for r in bm25_topk(transcripts, spec).collect()]
+    got = api.get_docs("table -join", page_size=10, with_total=False)
+    assert [d["id"] for d in got["docs"]] == want
+    got2 = api_noindex.get_docs("table -join", page_size=10, with_total=False)
+    assert [d["id"] for d in got2["docs"]] == want
+    # excluded term absent from every surfaced doc
+    import re as _re
+
+    for d in got["docs"]:
+        assert "join" not in _re.findall(r"[a-z0-9]+", d["content"].lower())
+
+
 def test_get_docs_pagination(api):
     all20 = api.get_docs("table", page_size=20, with_total=False)["docs"]
     p2 = api.get_docs("table", page=2, page_size=10, with_total=False)["docs"]
