@@ -65,9 +65,9 @@ _GATE_PRIORITY = [
     "f3_entity_extracted", "g4_entity_typed_facet",
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_cluster",
+    "dedup_cluster", "dedup_corpus",
     "dedup_simhash", "lang_id", "quality_score", "token_count",
-    "fingerprint", "a7_not_fulltext",
+    "a7_not_fulltext",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
     "mm_metadata", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",

@@ -13,6 +13,8 @@ Ops:
                      shingle hashes) → banded LSH bucket join → pairs
   dedup_cluster      connected components over the LSH pair graph
                      (large-star/small-star) → canonical doc per cluster
+  dedup_corpus       the apply step: per-doc keep/drop decision
+                     (exact_dup < near_dup < kept precedence)
   dedup_simhash      16-bit SimHash from md5 nibbles (tf-weighted)
   lang_id            stopword-hit heuristic language ID
   quality_score      length / TTR / stopword-ratio quality features
@@ -329,6 +331,43 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step: one keep/drop decision per document,
+    combining exact-hash groups and near-dup clusters.
+
+    Deterministic precedence: a doc that is not the minimum of its
+    content-fingerprint group is `exact_dup`; else a clustered doc
+    that is not its cluster's canonical is `near_dup`; else `kept`.
+    This is the row a 100-TB pipeline writes back next to the corpus
+    (keep flags, not a filtered copy) — downstream readers anti-join
+    or filter on it. Plan: one fp-keyed hash-agg + the CC labeling +
+    two doc_id-keyed joins; nothing quadratic, nothing driver-side.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", _toks().alias("toks"))
+    fp = d.select("doc_id", F.md5(F.array_join("toks", " ")).alias("fp"))
+    keepfp = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact = fp.join(keepfp, "fp").select("doc_id", "keep_id")
+    labels = connected_components(
+        dedup_minhash_lsh(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        exact.join(labels, "doc_id", "left")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "kept")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc, tf-weighted, bits from md5 nibbles.
 
@@ -612,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster": dedup_cluster,
+        "dedup_corpus": dedup_corpus,
         "dedup_simhash": dedup_simhash,
         "stratified_sample": stratified_sample,
         "ngram_counts": ngram_counts,
@@ -685,8 +725,7 @@ SELECT doc_a, doc_b FROM mh_pairs ORDER BY doc_a, doc_b"""
     # connected components over the pair graph: min-reachable-node
     # label via recursive reachability (small clusters, so enumerating
     # (node, reachable) pairs is cheap at oracle scale)
-    o["dedup_cluster"] = f"""
-WITH RECURSIVE {minhash_ctes},
+    cc_ctes = f"""{minhash_ctes},
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM mh_pairs
   UNION ALL SELECT doc_b, doc_a FROM mh_pairs
@@ -696,10 +735,29 @@ reach(node, comp) AS (
   UNION
   SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
 ),
-lbl AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node),
+lbl AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY node)"""
+
+    o["dedup_cluster"] = f"""
+WITH RECURSIVE {cc_ctes},
 sz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lbl GROUP BY cluster_id)
 SELECT l.doc_id, l.cluster_id, sz.n_docs, l.doc_id = l.cluster_id AS is_keep
 FROM lbl l JOIN sz USING (cluster_id) ORDER BY doc_id"""
+
+    o["dedup_corpus"] = f"""
+WITH RECURSIVE {cc_ctes},
+fp AS (
+  SELECT doc_id, md5(array_to_string({_TOKS_SQL}, ' ')) AS fp FROM documents
+),
+keepfp AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+dec AS (
+  SELECT f.doc_id,
+         CASE WHEN f.doc_id <> k.keep_id THEN 'exact_dup'
+              WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> f.doc_id THEN 'near_dup'
+              ELSE 'kept' END AS reason
+  FROM fp f JOIN keepfp k USING (fp)
+  LEFT JOIN lbl l ON l.doc_id = f.doc_id
+)
+SELECT doc_id, reason, reason = 'kept' AS keep FROM dec ORDER BY doc_id"""
 
     o["dedup_simhash"] = f"""
 WITH tf AS (

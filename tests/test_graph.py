@@ -11,7 +11,13 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from newsleak_spark.textops import connected_components, dedup_cluster, dedup_minhash_lsh
+from newsleak_spark.textops import (
+    connected_components,
+    dedup_cluster,
+    dedup_corpus,
+    dedup_exact,
+    dedup_minhash_lsh,
+)
 
 from conftest import SF_SMOKE
 
@@ -98,3 +104,25 @@ def test_dedup_cluster_invariants(spark):
     # labels agree with the independent union-find on the same pairs
     want = _min_label(_uf_components([(p["doc_a"], p["doc_b"]) for p in pairs]))
     assert lbl == want
+
+
+def test_dedup_corpus_decision_consistency(spark):
+    rows = dedup_corpus(spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs  # one decision per document
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["keep"] == (r["reason"] == "kept")
+    # exact groups: exactly the min doc of each multi-doc group is kept
+    for g in dedup_exact(spark, SF_SMOKE).collect():
+        if g["n_docs"] > 1:
+            assert by_id[g["keep_doc_id"]]["reason"] in ("kept", "near_dup")
+    # cluster non-canonicals are never kept (unless already exact_dup)
+    for c in dedup_cluster(spark, SF_SMOKE).collect():
+        if not c["is_keep"]:
+            assert by_id[c["doc_id"]]["reason"] in ("exact_dup", "near_dup")
+    # the kept set is self-consistent: a kept doc is its own canonical
+    kept = {r["doc_id"] for r in rows if r["keep"]}
+    for c in dedup_cluster(spark, SF_SMOKE).collect():
+        if c["doc_id"] in kept:
+            assert c["is_keep"]

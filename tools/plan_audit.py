@@ -105,6 +105,18 @@ def main() -> None:
             textops.dedup_ngram_jaccard(spark, SF),
         ),
         (
+            "Stratified sampling (train/eval split)",
+            "Map-only: row-local md5 hash draws, no Exchange before the "
+            "determinism orderBy; no RNG, no partition dependence.",
+            textops.stratified_sample(spark, SF),
+        ),
+        (
+            "Corpus n-gram counts",
+            "Explode → hash-agg on the gram with map-side partial agg → "
+            "TakeOrderedAndProject (no full sort of the gram table).",
+            textops.ngram_counts(spark, SF),
+        ),
+        (
             "Decontamination",
             "Single equi-join on the shingle key; benchmark side is "
             "eval-set-sized (auto-broadcast from stats at small scale).",
