@@ -47,12 +47,13 @@ _TOKS = (
 
 # The driver's correctness gate records the FIRST 50 queries() entries
 # (insertion order) — round 1 registered 65 and the last 15 got no
-# driver verdict. This priority list packs the window: every engine row
-# (the engine changed this round: lazy BMW decode), one brute
-# representative per query shape, every op new or changed this round,
-# and all 15 previously-unwindowed LLM-pipeline/event ops. Entries not
-# listed follow in registration order; all were driver-green in r01 and
-# are unchanged (tools/check_oracle.py still covers all of them).
+# driver verdict; 90 are registered now. This priority list packs the
+# window: every engine row (the engine changed this round: lazy BMW
+# decode + must_not), one brute representative per query shape, and
+# every op new or changed this round. Entries not listed follow in
+# registration order; each is either r01-driver-green and unchanged or
+# has its semantics exercised by an in-window sibling, and
+# tools/check_oracle.py covers ALL 90 locally at sf0.01 and sf0.1.
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
