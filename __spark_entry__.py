@@ -57,7 +57,7 @@ _TOKS = (
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
-    "e1_engine_not", "e1_engine_not_only",
+    "e1_engine_not", "e1_engine_not_only", "e1_engine_union_not",
     "e2_incremental_and", "e3_compacted_and",
     "e4_engine_facet", "e5_engine_hit_count",
     "f1_bm25_and", "f1_bm25_not", "f8_parsed_query",
@@ -67,9 +67,10 @@ _GATE_PRIORITY = [
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_cluster", "dedup_corpus",
-    "dedup_simhash", "lang_id", "quality_score", "token_count",
+    "dedup_simhash", "quality_score",
     "a7_not_fulltext",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "mm_metadata", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",

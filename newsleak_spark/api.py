@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from newsleak_spark import facets as facets_mod
 from newsleak_spark.analysis import analyze
 from newsleak_spark.query.brute import bm25_topk, matching_docs
-from newsleak_spark.query.engine import count_hits, matching_doc_ids, search
+from newsleak_spark.query.engine import (
+    count_hits,
+    index_state_key,
+    matching_doc_ids,
+    search,
+)
 from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
 
 DEFAULT_PAGE_SIZE = 50  # DocumentController.scala:47
@@ -107,7 +112,7 @@ class NewsleakAPI:
         self.transcripts = transcripts
         self.index_dir = index_dir
         self.mode = mode
-        self._hit_cache: dict[str, list] = {}
+        self._hit_cache: dict[tuple, tuple[int, list]] = {}
         self.topk_runs = 0  # observability: ranked scans actually executed
 
     # -- GET /getDocs -----------------------------------------------------
@@ -259,7 +264,11 @@ class NewsleakAPI:
         top-100 answers pages 1..N of size<=100/N). Bounded FIFO."""
         from dataclasses import replace
 
-        key = replace(spec, k=0).cache_key()
+        # the index state rides in the key: append_index/compaction on
+        # this index_dir bumps the manifest/deltas mtime, so stale
+        # collected rows age out exactly when the engine reader does
+        state = index_state_key(self.index_dir) if self.index_dir is not None else None
+        key = (replace(spec, k=0).cache_key(), state)
         cached = self._hit_cache.get(key)
         if cached is not None:
             cached_k, rows = cached

@@ -285,6 +285,10 @@ def t2_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: page 2 of a ranked query = top-(page·2) with ranks
     (page, 2·page]. The window runs over k rows only (post-limit)."""
     top = bm25_topk(load_transcripts(spark, sf_dir), _T2_SPEC)
+    # Unpartitioned window → Spark's single-partition WindowExec
+    # warning. Deliberate and bounded: the input is the ALREADY-LIMITED
+    # top-k (≤ k·pages rows collected to one partition), never the
+    # collection — ranking k rows on one task is the cheapest plan.
     w = W.orderBy(F.desc("score_e6"), F.asc("doc_id"))
     return (
         top.withColumn("rank", F.row_number().over(w))

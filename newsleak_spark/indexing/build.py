@@ -643,18 +643,30 @@ def compact_index(
         man.set_stats(
             n_docs=n_docs, sum_dl=sum_dl, avgdl=sum_dl / n_docs if n_docs else 0.0
         )
+        # no tokenized checkpoint exists for a compacted index — commit
+        # the stage as satisfied-by-compaction so build never re-enters
+        # stage 1 (and never reads the absent dir: the tokenized
+        # checkpoint is read lazily). Committed BEFORE docmeta: a crash
+        # between the two writes must leave docmeta-not-done (rerun the
+        # block), never docmeta-done-with-tokenized-absent (resume
+        # would re-enter stage 1 with transcripts=None and fail).
+        man.commit_stage(
+            StageRecord("tokenized", n_docs, 0.0, 0, chash, extra={"compacted": True})
+        )
         man.commit_stage(
             StageRecord(
                 "docmeta", n_docs, time.time() - t0, dir_bytes(meta_path), chash,
                 extra={"compacted_from": len(parts)},
             )
         )
-        # no tokenized checkpoint exists for a compacted index — commit
-        # the stage as satisfied-by-compaction so build never re-enters
-        # stage 1 (and never reads the absent dir: the tokenized
-        # checkpoint is read lazily)
+    elif not man.stage_done("tokenized", chash):
+        # self-heal a target left by the pre-fix commit order (docmeta
+        # committed, crash before the tokenized record)
         man.commit_stage(
-            StageRecord("tokenized", n_docs, 0.0, 0, chash, extra={"compacted": True})
+            StageRecord(
+                "tokenized", int(man.stats.get("n_docs", 0)), 0.0, 0, chash,
+                extra={"compacted": True},
+            )
         )
 
     if not man.stage_done("postings", chash):

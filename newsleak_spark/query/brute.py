@@ -190,9 +190,22 @@ def _sql_list(vals) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
 
 
-def bm25_topk_oracle_sql(spec: QuerySpec, from_documents: bool = True) -> str:
+def bm25_topk_oracle_sql(
+    spec: QuerySpec, from_documents: bool = True, mode: str = "standard"
+) -> str:
     """ANSI-ish SQL DuckDB runs on the pre-registered ``documents`` view
-    (transcripts derived in-query) reproducing bm25_topk exactly."""
+    (transcripts derived in-query) reproducing bm25_topk exactly.
+
+    The rendered SQL tokenizes with STANDARD_TOKEN_RE everywhere
+    (phrases, must_not, dl) — DuckDB cannot run the english stemmer
+    chain — so it is only a valid twin for ``bm25_topk(mode=
+    "standard")``. Fail closed rather than silently disagreeing with a
+    differently-analyzed brute path (english parity goes through the
+    pinned-token fixture oracle instead; see analysis_oracle notes)."""
+    if mode != "standard":
+        raise ValueError(
+            f"bm25_topk_oracle_sql renders the standard analyzer only, got mode={mode!r}"
+        )
     required = _sanitize(spec.all_scored_terms())
     boost = [t for t in _sanitize(spec.boost_terms) if t not in required]
 

@@ -628,9 +628,12 @@ def _make_shard_scorer(
 _READER_CACHE: dict = {}
 
 
-def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
-    """Reader memo per (index_dir, manifest mtime) — repeated queries
-    skip manifest/config re-reads; a rebuild (new mtime) invalidates."""
+def index_state_key(index_dir: str) -> tuple[float, float]:
+    """(manifest mtime, deltas mtime) — changes whenever the index
+    mutates (rebuild, append_index, compaction registration). Shared
+    invalidation key for the reader cache here and the API hit cache
+    (api.NewsleakAPI folds it into its key so cached collected top-k
+    rows never outlive the index state that produced them)."""
     import os
 
     try:
@@ -641,7 +644,13 @@ def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
         dmtime = os.path.getmtime(os.path.join(index_dir, "deltas.json"))
     except OSError:
         dmtime = 0.0
-    key = (index_dir, mtime, dmtime)
+    return (mtime, dmtime)
+
+
+def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
+    """Reader memo per (index_dir, manifest mtime) — repeated queries
+    skip manifest/config re-reads; a rebuild (new mtime) invalidates."""
+    key = (index_dir, *index_state_key(index_dir))
     rd = _READER_CACHE.get(key)
     if rd is None or rd.spark is not spark:
         rd = IndexReader(spark, index_dir)

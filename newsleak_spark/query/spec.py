@@ -77,7 +77,8 @@ def parse_query_string(
     terms: list[str] = []
     phrases: list[tuple[str, ...]] = []
     not_terms: list[str] = []
-    for i, chunk in enumerate(re.split(r'"', q)):
+    chunks = re.split(r'"', q)
+    for i, chunk in enumerate(chunks):
         if i % 2 == 1:  # inside quotes
             toks = analyzer(chunk)
             if not toks:
@@ -90,8 +91,20 @@ def parse_query_string(
         # outside quotes: peel '-'-prefixed words before analysis (the
         # analyzer itself strips punctuation, so the prefix must be
         # read from the raw word)
+        words = chunk.split()
+        # A negated quoted phrase (-"foo bar") leaves a bare '-' as the
+        # chunk's last word right before the quoted span. Negated
+        # phrases are out of scope, so fail CLOSED: silently keeping
+        # the phrase would invert intent (Lucene queryStringQuery
+        # must_nots it; a positive MUST returns exactly the docs the
+        # user excluded).
+        if words and words[-1] == "-" and chunk.endswith("-") and i + 1 < len(chunks):
+            raise ValueError(
+                'negated quoted phrases (-"...") are not supported; '
+                "negate individual terms instead"
+            )
         pos_words: list[str] = []
-        for w in chunk.split():
+        for w in words:
             if w.startswith("-") and len(w) > 1:
                 not_terms.extend(analyzer(w[1:]))
             else:

@@ -152,6 +152,34 @@ def test_aggregate_include_zero_fill(api):
     assert by_key.get("zzz_never") == 0 and by_key.get("tool_1", 0) > 0
 
 
+def test_hit_cache_invalidated_by_index_mutation(
+    spark, transcripts, tmp_path_factory
+):
+    """The collected-hits cache must not outlive the index state: after
+    append_index on the same index_dir, a repeated getDocs re-runs the
+    ranked scan and surfaces docs from the delta (the index mtime rides
+    in the cache key, same invalidation as the engine reader cache)."""
+    from newsleak_spark.indexing import append_index
+
+    d = str(tmp_path_factory.mktemp("mutidx"))
+    base = transcripts.filter(F.col("doc_id") % 2 == 0)
+    cfg = IndexConfig(n_shards=2, n_term_buckets=4, block_size=32)
+    build_index(spark, base, d, cfg)
+    api_m = NewsleakAPI(spark, transcripts, d)
+
+    r1 = api_m.get_docs("table", page=1, page_size=10, with_total=False, highlight=False)
+    assert api_m.topk_runs == 1
+    extra = transcripts.filter(F.col("doc_id") % 2 == 1)
+    append_index(spark, extra, d, cfg)
+
+    r2 = api_m.get_docs("table", page=1, page_size=10, with_total=False, highlight=False)
+    assert api_m.topk_runs == 2  # NOT served from the stale cache
+    assert {doc["id"] for doc in r2["docs"]} != {doc["id"] for doc in r1["docs"]} or [
+        doc["score"] for doc in r2["docs"]
+    ] != [doc["score"] for doc in r1["docs"]]
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_get_docs_hit_cache_across_pages(spark, transcripts):
     """Paginated requests of the same query reuse the collected ranked
     hits (the reference caches its hit iterator by query hash): a

@@ -92,6 +92,40 @@ def test_compaction_idempotent(spark, dirs):
     assert Manifest(comp_dir).stats == before
 
 
+def test_compaction_resumes_from_docmeta_only_crash_state(
+    spark, dirs, tmp_path_factory
+):
+    """Crash-window resume: a target whose manifest holds ONLY the
+    docmeta stage (the state a crash between stage commits could leave
+    — incl. indexes written by the old docmeta-before-tokenized commit
+    order) must resume cleanly: the satisfied-by-compaction tokenized
+    record is re-committed and the remaining stages run, instead of
+    build re-entering stage 1 with transcripts=None and failing."""
+    import json
+
+    full_dir, inc_dir, comp_dir = dirs
+    crash = str(tmp_path_factory.mktemp("crash") / "idx")
+    compact_index(spark, inc_dir, crash)
+    # strip the manifest back to the crash state: config+stats+docmeta
+    # committed, everything later (incl. 'tokenized') absent, and the
+    # later stages' output dirs gone
+    man_path = os.path.join(crash, "manifest.json")
+    with open(man_path) as f:
+        data = json.load(f)
+    data["stages"] = {"docmeta": data["stages"]["docmeta"]}
+    with open(man_path, "w") as f:
+        json.dump(data, f)
+    for sub in ("postings", "dictionary", "segments"):
+        shutil.rmtree(os.path.join(crash, sub), ignore_errors=True)
+
+    compact_index(spark, inc_dir, crash)  # resume, not crash
+    assert Manifest(crash).stage_done(
+        "tokenized", Manifest(crash).config["_hash"]
+    )
+    for spec in SPECS:
+        assert _results(spark, crash, spec) == _results(spark, full_dir, spec), spec
+
+
 def test_append_after_compaction(spark, transcripts, dirs, tmp_path_factory):
     """The compacted dir is a normal base: a further delta appends and
     queries stay rank-identical to a from-scratch build of the grown

@@ -38,6 +38,24 @@ def test_not_prefix_only_outside_quotes():
     assert "c" in terms
 
 
+def test_negated_quoted_phrase_fails_closed():
+    # -"foo bar" is out of scope; silently keeping the phrase would
+    # INVERT intent (the bare '-' is analyzer noise, so the phrase
+    # became a positive MUST pre-fix). Must raise, not flip polarity.
+    import pytest as _pytest
+
+    from newsleak_spark.analysis import analyze
+
+    with _pytest.raises(ValueError, match="negated quoted"):
+        parse_query_string('alpha -"foo bar"')
+    # a lone trailing '-' NOT followed by a quote is still just noise
+    terms, _, not_terms = parse_query_string("alpha -", analyzer=analyze)
+    assert terms == ("alpha",) and not_terms == ()
+    # and '- "foo"' (space before the quote) is not a negation either
+    terms, phrases, not_terms = parse_query_string('alpha - "foo bar"', analyzer=analyze)
+    assert phrases == (("foo", "bar"),) and not_terms == ()
+
+
 def test_hyphenated_word_is_not_negation():
     from newsleak_spark.analysis import analyze
 
