@@ -58,6 +58,7 @@ _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
     "e1_engine_not", "e1_engine_not_only", "e1_engine_union_not",
+    "e1_engine_english",
     "e2_incremental_and", "e3_compacted_and",
     "e4_engine_facet", "e5_engine_hit_count",
     "f1_bm25_and", "f1_bm25_not", "f8_parsed_query",
@@ -67,7 +68,7 @@ _GATE_PRIORITY = [
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_cluster", "dedup_corpus",
-    "dedup_simhash", "quality_score",
+    "dedup_simhash",
     "a7_not_fulltext",
     "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
     "dedup_embedding_lsh",
@@ -172,6 +173,78 @@ def _engine_query(spec: QuerySpec):
     return run
 
 
+# A1 end-to-end: the english analyzer chain (lowercase → possessive
+# strip → stopword removal → Porter stem; the ES `english` analyzer
+# contract, reference Postgres2ElasticsearchIndexer.java:97-136)
+# through index build + engine search. DuckDB cannot Porter-stem, so
+# the query materializes the PINNED analyzer's token stream to a
+# parquet twin and the oracle scores that same stream with the shared
+# BM25 SQL — the stemming itself is pinned by golden-token tests
+# (tests/test_analysis.py); what the driver hash-verifies here is that
+# the whole english-mode engine path (tokenize → build → WAND search)
+# scores the pinned stream exactly. The twin is OVERWRITTEN on every
+# run, so query + oracle are self-consistent at any sf.
+_ENGLISH_CFG = IndexConfig(mode="english")
+_ENGLISH_TWIN = "/tmp/newsleak_spark_english_twin.parquet"
+# natural-form query words; both stem ("tables"→"tabl", "merging"→"merg")
+# so the row fails if stemming breaks on either the query or index side
+_ENGLISH_TERMS = tuple(analyze("tables merging", "english"))
+_ENGLISH_SPEC = QuerySpec(terms=_ENGLISH_TERMS, k=20)
+
+
+def _e1_engine_english(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from newsleak_spark.analysis import tokens_col
+
+    t = load_transcripts(spark, sf_dir)
+    t.select(
+        "doc_id", F.explode(tokens_col(F.col("text"), "english")).alias("term")
+    ).write.mode("overwrite").parquet(_ENGLISH_TWIN)
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = f"/tmp/newsleak_index_en_{tag}_{config_hash(_ENGLISH_CFG.as_dict())}"
+    build_index(spark, t, d, _ENGLISH_CFG, resume=True)
+    return search(spark, d, _ENGLISH_SPEC)
+
+
+def _english_oracle_sql() -> str:
+    from newsleak_spark.query.brute import B, K1
+
+    qvals = ", ".join(f"('{t}', 1)" for t in _ENGLISH_TERMS)
+    return f"""WITH transcripts AS ({transcripts_sql('duckdb')}),
+tw AS (SELECT doc_id, term FROM read_parquet('{_ENGLISH_TWIN}/*.parquet')),
+dl AS (
+  SELECT t.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) AS dl
+  FROM transcripts t
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM tw GROUP BY 1) c USING (doc_id)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+),
+postings AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tw GROUP BY 1, 2),
+q(term, required) AS (VALUES {qvals}),
+dfreq AS (
+  SELECT p.term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM postings p JOIN q USING (term) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         SUM( ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+              * p.tf * {K1 + 1.0} / (p.tf + {K1} * (1.0 - {B} + {B} * d.dl / s.avgdl)) ) AS score,
+         SUM(q.required) AS nreq
+  FROM postings p
+  JOIN q USING (term)
+  JOIN dfreq f ON f.term = p.term
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored WHERE nreq = {len(_ENGLISH_TERMS)}
+ORDER BY score_e6 DESC, doc_id ASC
+LIMIT {_ENGLISH_SPEC.k}"""
+
+
 def _transcripts_q(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn(load_transcripts(spark, sf_dir))
@@ -222,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return search(spark, d, _SPECS["f1_bm25_and"])
 
     q["e3_compacted_and"] = _compacted_query
+    q["e1_engine_english"] = _e1_engine_english
 
     # index-accelerated aggregation path (engine.matching_doc_ids):
     # facet + hit count over the doc set matching a query, doc ids from
@@ -299,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
     o["e1_engine_union_not"] = bm25_topk_oracle_sql(_NOT_UNION_SPEC)
     o["e2_incremental_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
     o["e3_compacted_and"] = bm25_topk_oracle_sql(_SPECS["f1_bm25_and"])
+    o["e1_engine_english"] = _english_oracle_sql()
 
     e4_where = (
         "list_contains(regexp_extract_all(lower(text), "
