@@ -198,6 +198,59 @@ def test_redact_terms_no_shuffle(spark):
     assert "Join" not in plan
 
 
+def test_cc_plan_depth_stable_across_rounds(spark):
+    """Iterative CC must truncate lineage each round (localCheckpoint):
+    the result's plan must stay SHALLOW regardless of how many rounds
+    ran. A shuffled-id chain forces several contraction rounds; without
+    truncation the plan would accrete one join+agg subtree per round
+    and the line count would grow multiplicatively, not stay flat."""
+    from newsleak_spark import textops
+
+    def plan_lines(n_chain: int) -> int:
+        ids = list(range(n_chain))
+        # deterministic shuffle so label propagation can't shortcut
+        perm = [(i * 37 + 11) % n_chain for i in range(n_chain)]
+        edges = spark.createDataFrame(
+            [(perm[i], perm[i + 1]) for i in range(n_chain - 1)], "u long, v long"
+        )
+        comp = textops.connected_components(edges)
+        return len(plan_of(comp, "simple").splitlines())
+
+    shallow, deep = plan_lines(8), plan_lines(64)
+    assert deep <= shallow + 5, (shallow, deep)
+
+
+def test_ivf_cell_join_broadcast_only(spark):
+    """IVF probing joins the corpus on its cell key against the tiny
+    (Q·nprobe) broadcast query side — a sort-merge join here would
+    shuffle the full corpus for a handful of query vectors."""
+    from newsleak_spark import similarity
+
+    plan = plan_of(similarity.ann_ivf_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_multiprobe_fans_out_query_side_only(spark):
+    """1-bit multi-probe expands ONLY the broadcast query side to the
+    hamming-1 buckets: the corpus side must keep exactly n_tables
+    bucket rows per vector and the candidate join must stay broadcast
+    (no corpus re-shuffle from the fan-out)."""
+    from newsleak_spark import similarity
+    from newsleak_spark.transcripts import load_transcripts  # noqa: F401
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probed = similarity.ann_lsh_topk_df(emb, probe_bits=1)
+    plan = plan_of(probed)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # corpus-side bucket rows: one per (vector, table) — the probe
+    # fan-out must not touch it
+    n = emb.count()
+    buckets = similarity.ann_lsh_buckets(spark, "/root/testdata/sf0.001")
+    assert buckets.count() == n * similarity.LSH_TABLES
+
+
 def test_s2_source_explicit_schema_no_shuffle(spark, tmp_path):
     """The S2 export read must carry its explicit schema (a JSON scan
     with NO schema triggers a whole-extra inference pass over 100 TB)
