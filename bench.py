@@ -130,6 +130,13 @@ def _run_suite(sf_dir: str) -> dict:
         },
     }
 
+    # single-process calibration burn bracketing the suite: an absolute
+    # host-speed index (work-units/sec) recorded with every bench run,
+    # so cross-round comparisons can normalize for the ~3x delivered-CPU
+    # swing this VM shows (round-2's apparent 2-3x "regressions" were
+    # exactly this; see BASELINE.md adjudication)
+    host_speed = {"before": _host_speed()}
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -142,6 +149,8 @@ def _run_suite(sf_dir: str) -> dict:
         # shortcut, no CollectLimit short-circuit) without driver transfer
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+    host_speed["after"] = _host_speed()
+    out["host_speed_units_per_sec"] = host_speed
     out["queries"] = timings
     out["value"] = round(sum(timings.values()), 3)
     out["metric"] = "headline_suite_sec"
@@ -255,6 +264,17 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
             }
         )
     )
+
+
+def _host_speed() -> float:
+    """One single-process calibration burn → absolute work-units/sec
+    (~6 s). The cross-round host-speed index for the headline suite."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from cpu_calibration import burn  # noqa: E402
+
+    t0 = time.time()
+    burn(0)
+    return round(1.0 / (time.time() - t0), 4)
 
 
 def _hw_ceiling() -> dict:

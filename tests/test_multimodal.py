@@ -135,6 +135,47 @@ def test_decode_round_trips_each_encoder():
     assert list(frames[1]) == list(range(12, 24))
 
 
+def test_codec_round_trip_property():
+    """Property sweep (no Spark): arbitrary payloads round-trip every
+    codec — encoder and decoder agree on all sizes/dims the media
+    table can produce, and WAV survives an independent stdlib parse."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=2, max_size=96).filter(lambda b: len(b) % 2 == 0))
+    def wav_rt(data):
+        blob = multimodal._encode_wav(data)
+        assert multimodal.decode_wav(blob).tobytes() == np.frombuffer(
+            data, dtype="<i2"
+        ).astype(np.int64).tobytes()
+        with wave.open(io.BytesIO(blob)) as w:
+            assert w.readframes(w.getnframes()) == data
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 9), st.integers(1, 9), st.data())
+    def ppm_rt(w, h, data):
+        pix = data.draw(st.binary(min_size=3 * w * h, max_size=3 * w * h))
+        got_w, got_h, got = multimodal.decode_ppm(multimodal._encode_ppm(w, h, pix))
+        assert (got_w, got_h) == (w, h) and bytes(got.astype(np.uint8)) == pix
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 8), st.data())
+    def y4m_rt(nf, data):
+        frames = [
+            data.draw(st.binary(min_size=12, max_size=12)) for _ in range(nf)
+        ]
+        got_w, got_h, got = multimodal.decode_y4m(
+            multimodal._encode_y4m(2, 2, frames)
+        )
+        assert (got_w, got_h) == (2, 2)
+        assert [bytes(f.astype(np.uint8)) for f in got] == frames
+
+    wav_rt()
+    ppm_rt()
+    y4m_rt()
+
+
 def test_decode_rejects_unknown_type():
     with pytest.raises(NotImplementedError):
         multimodal._decode(b"\x00", "hologram")
