@@ -78,18 +78,32 @@ _MONTHS = [
     "january", "february", "march", "april", "may", "june",
     "july", "august", "september", "october", "november", "december",
 ]
-_MONTH_ALT = "|".join(_MONTHS)
+# abbreviated forms, optional trailing period ("Mar", "Sep.", "Sept.");
+# ordered longest-first within a stem so backtracking engines and RE2
+# agree on viable alternatives ("sept" before "sep")
+_MONTH_ABBRS = [
+    ("jan", 1), ("feb", 2), ("mar", 3), ("apr", 4), ("may", 5), ("jun", 6),
+    ("jul", 7), ("aug", 8), ("sept", 9), ("sep", 9), ("oct", 10),
+    ("nov", 11), ("dec", 12),
+]
+# full names first: alternation must prefer "march" over its "mar" prefix
+_MONTH_ALT = "|".join(_MONTHS + [a + r"\.?" for a, _ in _MONTH_ABBRS])
+# month surface → number: re-extract the letter run from the MATCHED
+# text (engine-independent of which alternative matched it)
 _MONTH_CASE = (
     "CASE lower(regexp_extract(x, '(?i)([a-z]+)', 1)) "
     + " ".join(
         f"WHEN '{m}' THEN '{i + 1:02d}'" for i, m in enumerate(_MONTHS)
     )
+    + " "
+    + " ".join(f"WHEN '{a}' THEN '{n:02d}'" for a, n in _MONTH_ABBRS)
     + " END"
 )
 
 # surface-form patterns (A11 rule subset) — single-backslash form;
 # _rx() handles dialect quoting
 _P_ISO = r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b"
+_P_ISO_SLASH = r"\b[0-9]{4}/[0-9]{2}/[0-9]{2}\b"
 _P_MDY = rf"(?i)\b(?:{_MONTH_ALT})\s+[0-9]{{1,2}},\s*[0-9]{{4}}\b"
 _P_DMY = rf"(?i)\b[0-9]{{1,2}}\s+(?:{_MONTH_ALT})\s+[0-9]{{4}}\b"
 _P_MY = rf"(?i)\b(?:{_MONTH_ALT})\s+[0-9]{{4}}\b"
@@ -105,6 +119,9 @@ def timex_sql(dialect: str, txt: str) -> str:
     year = "right(x, 4)"
 
     iso = d["extract_all"](txt, _P_ISO)
+    iso_slash = d["transform"](
+        d["extract_all"](txt, _P_ISO_SLASH), "replace(x, '/', '-')"
+    )
     mdy = d["transform"](
         d["extract_all"](txt, _P_MDY),
         f"{year} || '-' || {_MONTH_CASE} || '-' || {day_num}",
@@ -113,7 +130,7 @@ def timex_sql(dialect: str, txt: str) -> str:
         d["extract_all"](txt, _P_DMY),
         f"{year} || '-' || {_MONTH_CASE} || '-' || {day_num}",
     )
-    days = d["concat"](iso, mdy, dmy)
+    days = d["concat"](iso, iso_slash, mdy, dmy)
     # calendar plausibility (leap years included via the date cast) +
     # the reference's plausible-year window
     days = d["filter"](

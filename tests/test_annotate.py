@@ -42,6 +42,23 @@ def test_timex_case_insensitive_dedup(spark):
     assert _timex(spark, "MARCH 5, 2021 and march 5, 2021") == ["2021-03-05"]
 
 
+def test_timex_abbreviated_months_and_slash_dates(spark):
+    # abbreviations with/without period, incl. the sept variant, and
+    # yyyy/MM/dd — all normalize into the same value space (round-3
+    # rule-subset widening)
+    got = _timex(
+        spark,
+        "Sep. 5, 2019 then 28 Feb 2020, SEPT. 2021, Jun 2022 and 2023/03/04",
+    )
+    assert got == ["2019-09-05", "2020-02-28", "2021-09", "2022-06", "2023-03-04"]
+    # abbreviated day tag suppresses its own month, same as full names
+    assert _timex(spark, "5 Mar 2019") == ["2019-03-05"]
+    # full name still wins over its abbreviation prefix
+    assert _timex(spark, "March 5, 2019") == ["2019-03-05"]
+    # implausible slash date falls back to the bare-year tag
+    assert _timex(spark, "2019/13/40") == ["2019"]
+
+
 def _ents(spark, text):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     return sorted(

@@ -25,15 +25,26 @@ from newsleak_spark.annotate import _MONTHS, tag_timex
 
 def _surface(kind, y, m, d, case):
     name = _MONTHS[m - 1]
-    name = {0: name, 1: name.capitalize(), 2: name.upper()}[case]
+    abbr = name[:3] + ("." if kind == "mdy_abbr" else "")
+    name, abbr = (
+        {0: s, 1: s.capitalize(), 2: s.upper()}[case] for s in (name, abbr)
+    )
     if kind == "iso":
         return f"{y:04d}-{m:02d}-{d:02d}"
+    if kind == "slash":
+        return f"{y:04d}/{m:02d}/{d:02d}"
     if kind == "mdy":
         return f"{name} {d}, {y}"
+    if kind == "mdy_abbr":
+        return f"{abbr} {d}, {y}"
     if kind == "dmy":
         return f"{d} {name} {y}"
+    if kind == "dmy_abbr":
+        return f"{d} {abbr} {y}"
     if kind == "my":
         return f"{name} {y}"
+    if kind == "my_abbr":
+        return f"{abbr} {y}"
     return str(y)
 
 
@@ -48,9 +59,11 @@ def _expected(mentions):
         return 1900 <= y <= 2099
 
     for kind, y, m, d, _ in mentions:
-        if kind in ("iso", "mdy", "dmy") and plausible_day(y, m, d):
+        if kind in (
+            "iso", "slash", "mdy", "mdy_abbr", "dmy", "dmy_abbr"
+        ) and plausible_day(y, m, d):
             days.add(f"{y:04d}-{m:02d}-{d:02d}")
-        if kind in ("my", "dmy") and 1900 <= y <= 2099:
+        if kind in ("my", "my_abbr", "dmy", "dmy_abbr") and 1900 <= y <= 2099:
             months.add(f"{y:04d}-{m:02d}")
         if 1900 <= y <= 2099:  # bare (19|20)xx substring of ANY mention
             years.add(f"{y:04d}")
@@ -81,7 +94,10 @@ def test_exhaustive_day_edges(spark):
     for m, d, (kind, y) in itertools.product(
         range(1, 13),
         [1, 28, 29, 30, 31],
-        [("iso", 1899), ("iso", 1900), ("mdy", 2020), ("dmy", 2021), ("iso", 2100)],
+        [
+            ("iso", 1899), ("iso", 1900), ("mdy", 2020), ("dmy", 2021),
+            ("iso", 2100), ("slash", 2022), ("mdy_abbr", 2023), ("dmy_abbr", 2024),
+        ],
     ):
         cases.append([(kind, y, m, d, (m + d) % 3)])
     texts = ["on " + _surface(*c[0]) + " it happened" for c in cases]
@@ -91,7 +107,9 @@ def test_exhaustive_day_edges(spark):
 
 
 _mention = st.tuples(
-    st.sampled_from(["iso", "mdy", "dmy", "my", "year"]),
+    st.sampled_from(
+        ["iso", "slash", "mdy", "mdy_abbr", "dmy", "dmy_abbr", "my", "my_abbr", "year"]
+    ),
     st.integers(min_value=1890, max_value=2110),
     st.integers(min_value=1, max_value=12),
     st.integers(min_value=1, max_value=31),
