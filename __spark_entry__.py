@@ -70,9 +70,8 @@ _GATE_PRIORITY = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_cluster", "dedup_corpus",
     "dedup_simhash",
-    "a7_not_fulltext",
-    "ann_cosine_topk", "ann_lsh_topk", "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
     "mm_metadata", "mm_decode_features",
     "ev_window_agg", "ev_sessionize", "ev_json_props",
     "decontaminate", "redact_terms", "domain_mix",

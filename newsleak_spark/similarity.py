@@ -591,10 +591,21 @@ def dedup_embedding_lsh_df(
 
 IVF_NLIST = 16
 IVF_NPROBE = 4
+# Twin parquet of the quantizer state (cell assignments + query
+# probes), written at query time so the DuckDB oracle can verify the
+# whole post-quantizer pipeline (cell equi-join → candidate dedup →
+# exact rerank → top-k) by hash. The k-means training itself stays
+# Spark-side — like the Porter stemmer in the english-analyzer row,
+# it is the one pinned, SQL-inexpressible stage, and the oracle
+# consumes its output rather than re-deriving it.
+_IVF_ASSIGN_TWIN = "/tmp/newsleak_spark_ivf_assign.parquet"
+_IVF_PROBES_TWIN = "/tmp/newsleak_spark_ivf_probes.parquet"
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf_topk_df(_emb(spark, sf_dir))
+    return ann_ivf_topk_df(_emb(spark, sf_dir), twin_paths=(
+        _IVF_ASSIGN_TWIN, _IVF_PROBES_TWIN
+    ))
 
 
 def ann_ivf_topk_df(
@@ -605,6 +616,7 @@ def ann_ivf_topk_df(
     nprobe: int = IVF_NPROBE,
     seed: int = 42,
     max_iter: int = 5,
+    twin_paths: tuple[str, str] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: a k-means coarse quantizer assigns
     every vector to one of ``nlist`` cells; each query probes its
@@ -643,6 +655,13 @@ def ann_ivf_topk_df(
             probe_pairs.append((int(r["vec_id"]), int(cell)))
     spark = emb.sparkSession
     probes = spark.createDataFrame(probe_pairs, "qid long, cell int")
+    if twin_paths is not None:
+        # materialize the quantizer state for the oracle (overwritten
+        # per run, so query and oracle stay self-consistent at any sf)
+        assigned.select("vec_id", "cell").write.mode("overwrite").parquet(
+            twin_paths[0]
+        )
+        probes.write.mode("overwrite").parquet(twin_paths[1])
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
@@ -672,11 +691,56 @@ def ann_ivf_topk_df(
     )
 
 
+def ann_ivf_topk_oracle() -> str:
+    """DuckDB twin of ann_ivf_topk over the materialized quantizer
+    state: candidate generation (cell equi-join + dedup), exact
+    quantized-cosine rerank and top-k are all re-derived and
+    hash-compared; only the k-means assignment itself is consumed as
+    pinned input (see _IVF_ASSIGN_TWIN note)."""
+    return f"""
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS e
+  FROM embeddings
+),
+norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM flat GROUP BY vec_id),
+assigned AS (SELECT vec_id, cell FROM read_parquet('{_IVF_ASSIGN_TWIN}/*.parquet')),
+probes AS (SELECT qid, cell FROM read_parquet('{_IVF_PROBES_TWIN}/*.parquet')),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id
+  FROM assigned a JOIN probes p USING (cell)
+  WHERE a.vec_id <> p.qid
+),
+dots AS (
+  SELECT cand.qid, cand.vec_id, SUM(f.e * g.e) AS dot
+  FROM cand
+  JOIN flat f ON f.vec_id = cand.vec_id
+  JOIN flat g ON g.vec_id = cand.qid AND g.i = f.i
+  GROUP BY 1, 2
+),
+quant AS (
+  SELECT d.qid, d.vec_id,
+         CAST(ROUND(d.dot / (n.nrm * qn.nrm) * 10000) AS BIGINT) AS sim_e4
+  FROM dots d
+  JOIN norms n ON n.vec_id = d.vec_id
+  JOIN norms qn ON qn.vec_id = d.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim_e4,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim_e4 DESC, vec_id ASC) AS rank
+  FROM quant
+)
+SELECT CAST(qid AS BIGINT) AS query_id, vec_id AS neighbor_id,
+       sim_e4, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,  # no SQL oracle: k-means state is not SQL
+        "ann_ivf_topk": ann_ivf_topk,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_lsh": dedup_embedding_lsh,
     }
@@ -686,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_cosine_topk": ann_cosine_topk_oracle(),
         "ann_lsh_topk": ann_lsh_topk_oracle(),
+        "ann_ivf_topk": ann_ivf_topk_oracle(),
         "dedup_embedding_cosine": dedup_embedding_cosine_oracle(),
         "dedup_embedding_lsh": dedup_embedding_lsh_oracle(),
     }
