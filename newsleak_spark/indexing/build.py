@@ -74,10 +74,20 @@ class IndexConfig:
     hot_df_ratio: float = 0.05      # df/N above which a term is "hot"
     n_salts: int = 8                # salt fan-out for hot-term encode
     with_positions: bool = True     # store positions (phrase queries)
+    hot_bigrams: bool = True        # index adjacent hot-term pairs (phrase sidecar)
     analyzer_version: int = ANALYZER_VERSION
 
     def as_dict(self) -> dict:
         return asdict(self)
+
+
+# Separator for synthetic bigram terms ("a\x1fb"): the ASCII unit
+# separator cannot appear in analyzed tokens (both analyzer modes emit
+# [0-9a-z']-class words), so bigram terms can never collide with a real
+# term. NOT NUL: pandas' object-dtype groupby hashes str keys with
+# C-string semantics, so "a\x00b" silently collides with "a" inside the
+# shard scorer's groupby("term").
+BIGRAM_SEP = "\x1f"
 
 
 BLOCK_SCHEMA = (
@@ -161,6 +171,105 @@ def _postings(tokenized: DataFrame, with_positions: bool) -> DataFrame:
                 [
                     pa.array(doc_ids[gd], type=pa.int64()),
                     pc.take(dic, pa.array(ft[starts])),
+                    pa.array(tf, type=pa.int32()),
+                    pa.array(dls[gd].astype(np.int32), type=pa.int32()),
+                    pa.array(shards[gd].astype(np.int32), type=pa.int32()),
+                    positions,
+                ],
+                names=["doc_id", "term", "tf", "dl", "shard", "positions"],
+            )
+
+    return tokenized.select("doc_id", "shard", "dl", "toks").mapInArrow(
+        run, _POSTINGS_SCHEMA
+    )
+
+
+def _bigram_postings(
+    tokenized: DataFrame, hot_terms: list[str], with_positions: bool
+) -> DataFrame:
+    """Hot-pair bigram sidecar postings: one row per (doc, "a\\x00b")
+    for every ADJACENT token pair where both tokens are hot terms —
+    the "nextword index" of Williams, Zobel & Bahle, "Fast Phrase
+    Querying with Combined Indexes" (ACM TOIS 2004), restricted to
+    hot×hot pairs (rare terms already make phrases cheap via
+    candidate-driven block pruning; it is two HOT terms that cost a
+    multi-million-posting position decode at query time).
+
+    Positions record the FIRST token's position, so a phrase
+    (t0..tn) matches doc d at start s iff bigram (t_i,t_{i+1}) has a
+    posting for d at position s+i for every i — the engine's phrase
+    filter then never decodes the hot unigrams' positions.
+
+    MAP-ONLY like _postings: adjacency is doc-local, detected on the
+    flattened token stream with one vectorized pass (same-doc mask +
+    hot-code mask), grouped by (doc, pair) with the same stable
+    lexsort + run-length reduce. The hot set is a driver-side
+    broadcast closure: |hot| ≤ avgdl / hot_df_ratio by construction
+    (Σdf ≤ N·avgdl), i.e. hundreds of strings, never data-scale.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    hot = frozenset(hot_terms)
+
+    def run(batches):
+        for batch in batches:
+            toks = batch.column("toks")
+            offs_raw = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base0 = int(offs_raw[0])
+            offs = offs_raw - base0
+            n_rows = len(toks)
+            total = int(offs[-1])
+            if total < 2:
+                continue
+            flat_vals = toks.values.slice(base0, total)
+            enc = pc.dictionary_encode(flat_vals)
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            dic = enc.dictionary.to_pylist()  # unique terms in batch only
+            hot_code = np.fromiter((t in hot for t in dic), dtype=bool, count=len(dic))
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            dls = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.int64)
+            shards = batch.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+
+            n_per = np.diff(offs)
+            doc_idx = np.repeat(np.arange(n_rows), n_per)
+            pos = (np.arange(total) - np.repeat(offs[:-1], n_per)).astype(np.int64)
+            adj = (
+                (doc_idx[1:] == doc_idx[:-1])
+                & hot_code[codes[:-1]]
+                & hot_code[codes[1:]]
+            )
+            hits = np.flatnonzero(adj)
+            if hits.size == 0:
+                continue
+            d = doc_idx[hits]
+            key = codes[hits] * len(dic) + codes[hits + 1]
+            p = pos[hits]
+            order = np.lexsort((key, d))  # primary doc, secondary pair, stable
+            fd, fk, fp = d[order], key[order], p[order]
+            new = np.empty(fd.size, dtype=bool)
+            new[0] = True
+            new[1:] = (fd[1:] != fd[:-1]) | (fk[1:] != fk[:-1])
+            starts = np.flatnonzero(new)
+            tf = np.diff(np.append(starts, fd.size)).astype(np.int32)
+            gd = fd[starts]
+            # pair-code → "a\x00b" only for the batch's UNIQUE pairs
+            uk, inv = np.unique(fk[starts], return_inverse=True)
+            names = np.array(
+                [dic[k // len(dic)] + BIGRAM_SEP + dic[k % len(dic)] for k in uk.tolist()],
+                dtype=object,
+            )
+            if with_positions:
+                positions = pa.ListArray.from_arrays(
+                    pa.array(np.append(starts, fd.size).astype(np.int32)),
+                    pa.array(fp.astype(np.int32), type=pa.int32()),
+                )
+            else:
+                positions = pa.nulls(starts.size, pa.list_(pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[gd], type=pa.int64()),
+                    pa.array(names[inv], type=pa.string()),
                     pa.array(tf, type=pa.int32()),
                     pa.array(dls[gd].astype(np.int32), type=pa.int32()),
                     pa.array(shards[gd].astype(np.int32), type=pa.int32()),
@@ -355,6 +464,8 @@ def build_index(
     meta_path = os.path.join(index_dir, "docmeta")
     post_path = os.path.join(index_dir, "postings")
     dict_path = os.path.join(index_dir, "dictionary")
+    big_post_path = os.path.join(index_dir, "bigram_postings")
+    big_dict_path = os.path.join(index_dir, "bigram_dictionary")
     seg_path = os.path.join(index_dir, "segments")
 
     # ---- stage 1: tokenized checkpoint (the temp-index analog, S4) -------
@@ -410,10 +521,13 @@ def build_index(
         # no readable files, so commit the remaining stages as empty
         # records instead of writing/rereading them (callers skip
         # registering empty deltas; an empty BASE answers no queries)
-        for stage in ("postings", "dictionary", "segments"):
+        for stage in ("postings", "dictionary", "bigrams", "segments"):
             if not man.stage_done(stage, chash):
                 man.commit_stage(StageRecord(stage, 0, 0.0, 0, chash))
-        man.set_stats(n_postings=0, n_terms=0, n_hot_terms=0)
+        man.set_stats(
+            n_postings=0, n_terms=0, n_hot_terms=0,
+            n_bigram_postings=0, bigram_terms=[],
+        )
         return man
 
     # ---- stage 3: postings checkpoint (computed once, reused twice) -------
@@ -459,12 +573,69 @@ def build_index(
 
     dictionary = spark.read.parquet(dict_path)
 
+    # ---- stage 4b: hot-pair bigram sidecar (phrase acceleration) ----------
+    # A phrase of two HOT terms is the engine's worst case (a
+    # multi-million-candidate AND pays full position decode); indexing
+    # the adjacency of hot×hot pairs as synthetic terms turns it into a
+    # rare-term lookup. The set of hot terms the extraction used is
+    # recorded in the manifest (stats.bigram_terms): the reader treats
+    # a pair as COVERED — "bigram absent ⇒ no adjacency anywhere" —
+    # only for pairs inside that set. Compaction commits this stage as
+    # satisfied (per-part sidecar union + coverage intersection) before
+    # entering this function, exactly like the tokenized checkpoint.
+    if cfg.hot_bigrams and not (resume and man.stage_done("bigrams", chash)):
+        t0 = time.time()
+        # bounded driver collect: |hot| ≤ avgdl / hot_df_ratio terms
+        # (Σdf ≤ N·avgdl), i.e. hundreds of strings at any scale
+        hot_terms = sorted(
+            r["term"] for r in dictionary.filter(F.col("is_hot")).select("term").collect()
+        )
+        n_big = 0
+        if hot_terms:
+            bp = _bigram_postings(_tokenized(), hot_terms, cfg.with_positions)
+            obs = Observation("bigrams")
+            bp = bp.observe(obs, F.count(F.lit(1)).alias("rows"))
+            bp.write.mode("overwrite").parquet(big_post_path)
+            n_big = int(obs.get["rows"])
+            if n_big:
+                bd = (
+                    spark.read.parquet(big_post_path)
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                    .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_term_buckets))
+                    .withColumn(
+                        "is_hot",
+                        F.col("df") >= F.lit(cfg.hot_df_ratio) * F.lit(n_docs),
+                    )
+                )
+                bd.write.mode("overwrite").partitionBy("bucket").parquet(big_dict_path)
+        man.set_stats(n_bigram_postings=n_big, bigram_terms=hot_terms)
+        man.commit_stage(
+            StageRecord(
+                "bigrams", n_big, time.time() - t0,
+                dir_bytes(big_post_path) if n_big else 0, chash,
+                extra={"hot_terms": len(hot_terms)},
+            )
+        )
+
     # ---- stage 5: segments (salted encode shuffle) -------------------------
     if not (resume and man.stage_done("segments", chash)):
         t0 = time.time()
         joined = postings.join(
             dictionary.select("term", "df", "bucket", "is_hot"), "term"
-        ).withColumn(
+        )
+        if cfg.hot_bigrams and int(man.stats.get("n_bigram_postings") or 0) > 0:
+            # bigram sidecar rows ride the same salted encode: their
+            # synthetic terms bucket/salt/encode like any other term
+            joined = joined.unionByName(
+                spark.read.parquet(big_post_path).join(
+                    spark.read.parquet(big_dict_path).select(
+                        "term", "df", "bucket", "is_hot"
+                    ),
+                    "term",
+                )
+            )
+        joined = joined.withColumn(
             "salt",
             F.when(F.col("is_hot"), F.pmod(F.col("doc_id"), F.lit(cfg.n_salts)))
             .otherwise(F.lit(0))
@@ -682,6 +853,54 @@ def compact_index(
         man.commit_stage(
             StageRecord(
                 "postings", n_post, time.time() - t0, dir_bytes(post_path), chash,
+                extra={"compacted_from": len(parts)},
+            )
+        )
+
+    # bigram sidecar: union the per-part extractions (each exhaustive
+    # over its own docs for its own hot set) and re-derive the combined
+    # dictionary; COVERAGE becomes the INTERSECTION of the parts' hot
+    # sets — only a pair every part extracted may be treated as
+    # "absent ⇒ no adjacency anywhere". Committed before the build
+    # resumes so stage 4b never re-enters (no tokenized checkpoint).
+    if cfg.hot_bigrams and not man.stage_done("bigrams", chash):
+        t0 = time.time()
+        part_mans = [Manifest(p) for p in parts]
+        covers = [set(m.stats.get("bigram_terms") or []) for m in part_mans]
+        cover = sorted(set.intersection(*covers)) if covers else []
+        srcs = [
+            os.path.join(p, "bigram_postings")
+            for p, m in zip(parts, part_mans)
+            if int(m.stats.get("n_bigram_postings") or 0) > 0
+        ]
+        n_big = 0
+        bp_out = os.path.join(out_dir, "bigram_postings")
+        bd_out = os.path.join(out_dir, "bigram_dictionary")
+        if srcs:
+            obs = Observation("compact_bigrams")
+            merged = reduce(
+                lambda a, b: a.unionByName(b), [spark.read.parquet(s) for s in srcs]
+            ).observe(obs, F.count(F.lit(1)).alias("rows"))
+            merged.write.mode("overwrite").parquet(bp_out)
+            n_big = int(obs.get["rows"])
+            if n_big:
+                n_docs_c = float(man.stats["n_docs"])
+                bd = (
+                    spark.read.parquet(bp_out)
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                    .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_term_buckets))
+                    .withColumn(
+                        "is_hot",
+                        F.col("df") >= F.lit(cfg.hot_df_ratio) * F.lit(n_docs_c),
+                    )
+                )
+                bd.write.mode("overwrite").partitionBy("bucket").parquet(bd_out)
+        man.set_stats(n_bigram_postings=n_big, bigram_terms=cover)
+        man.commit_stage(
+            StageRecord(
+                "bigrams", n_big, time.time() - t0,
+                dir_bytes(bp_out) if n_big else 0, chash,
                 extra={"compacted_from": len(parts)},
             )
         )

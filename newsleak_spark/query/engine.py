@@ -90,6 +90,19 @@ class IndexReader:
         self.n_docs = float(n)
         self.avgdl = sum_dl / n if n else 0.0
         self.n_buckets = int(self.man.config["n_term_buckets"])
+        # bigram-sidecar coverage: a pair (a,b) is covered — "bigram
+        # absent ⇒ no adjacency anywhere" — only when EVERY part
+        # extracted it, i.e. a,b are in the intersection of the parts'
+        # extraction-time hot sets (manifest stats.bigram_terms). Any
+        # part without the sidecar stage kills coverage (fallback to
+        # unigram position verification; results identical either way).
+        bts = [m.stats.get("bigram_terms") for m in mans]
+        if all(bt is not None for bt in bts):
+            self.bigram_cover: frozenset = frozenset(
+                set.intersection(*(set(bt) for bt in bts))
+            )
+        else:
+            self.bigram_cover = frozenset()
 
     def dictionary_rows(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, cf): a driver-side pyarrow point read of ONLY the
@@ -100,23 +113,33 @@ class IndexReader:
         n_term_buckets scales with the term count."""
         if not terms:
             return {}
+        import os
+
         import pyarrow.dataset as ds
 
-        buckets = sorted({_bucket(t, self.n_buckets) for t in terms})
+        from newsleak_spark.indexing.build import BIGRAM_SEP
+
+        unigrams = [t for t in terms if BIGRAM_SEP not in t]
+        bigrams = [t for t in terms if BIGRAM_SEP in t]
         out: dict[str, tuple[int, int]] = {}
-        for part in self.parts:
-            dataset = ds.dataset(
-                f"{part}/dictionary", format="parquet", partitioning="hive"
-            )
-            tbl = dataset.to_table(
-                columns=["term", "df", "cf"],
-                filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(terms),
-            )
-            for t, d, c in zip(
-                tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
-            ):
-                pd_, pc = out.get(t, (0, 0))
-                out[t] = (pd_ + int(d), pc + int(c))
+        for sub, ts in (("dictionary", unigrams), ("bigram_dictionary", bigrams)):
+            if not ts:
+                continue
+            buckets = sorted({_bucket(t, self.n_buckets) for t in ts})
+            for part in self.parts:
+                path = f"{part}/{sub}"
+                if not os.path.isdir(path):
+                    continue  # part built with no (or empty) sidecar
+                dataset = ds.dataset(path, format="parquet", partitioning="hive")
+                tbl = dataset.to_table(
+                    columns=["term", "df", "cf"],
+                    filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(ts),
+                )
+                for t, d, c in zip(
+                    tbl["term"].to_pylist(), tbl["df"].to_pylist(), tbl["cf"].to_pylist()
+                ):
+                    pd_, pc = out.get(t, (0, 0))
+                    out[t] = (pd_ + int(d), pc + int(c))
         return out
 
     def _union_parts(self, sub: str) -> DataFrame:
@@ -226,6 +249,7 @@ def _make_shard_scorer(
     truncate: bool = True,
     safe_bounds: bool = False,
     neg_terms: tuple[str, ...] = (),
+    phrase_plans: tuple | None = None,
 ):
     """Returns the applyInPandas function scoring one shard's blocks.
 
@@ -233,9 +257,26 @@ def _make_shard_scorer(
     the second frame carries the shard's FILTER-SURVIVING doc_ids, so
     filtering happens shard-locally and per-shard top-k truncation
     stays on — no untruncated candidate set ever leaves a shard.
+
+    ``phrase_plans`` (one per phrase, aligned with ``phrases``):
+    (tokens, pairs, fully) where pairs[i] = (i, bigram_term | None) —
+    a bigram term is set when the adjacent pair (tokens[i],
+    tokens[i+1]) is covered by the index's hot-pair sidecar. Covered
+    pairs prune candidates by cheap doc-membership BEFORE any
+    position decode; a FULLY covered phrase never decodes unigram
+    positions at all (len-2: membership IS adjacency; len≥3: the
+    sidecar's own — far rarer — positions verify alignment). None →
+    every pair uncovered (pure unigram verification, the pre-sidecar
+    behavior).
     """
     required = [m for m in metas if m.required]
-    phrase_terms = {t for p in phrases for t in p}
+    if phrase_plans is None:
+        phrase_plans = tuple(
+            (p, tuple((i, None) for i in range(len(p) - 1)), False) for p in phrases
+        )
+    # unigram positions are decoded only for phrases NOT fully covered
+    phrase_terms = {t for toks, _pairs, fully in phrase_plans if not fully for t in toks}
+    bigram_terms = {bt for _toks, pairs, _f in phrase_plans for _i, bt in pairs if bt}
     idf = {m.term: m.idf for m in metas}
     req_order = sorted(required, key=lambda m: (m.df, m.term))  # rarest first
 
@@ -251,6 +292,9 @@ def _make_shard_scorer(
         # looks at by_term. Their blocks are decoded candidate-pruned
         # (only block ranges overlapping surviving candidates pay IO).
         neg = {t: by_term.pop(t) for t in neg_terms if t in by_term}
+        # bigram sidecar postings never score either: they exist only
+        # for the phrase filter
+        bg = {t: by_term.pop(t) for t in bigram_terms if t in by_term}
         if any(m.term not in by_term for m in required):
             return empty
 
@@ -273,10 +317,7 @@ def _make_shard_scorer(
                 if cand.size == 0:
                     return empty
             if phrases:
-                # positions decoded LATE: only blocks that still contain
-                # candidates after the doc intersection pay position IO
-                positions = _positions_for(by_term, cand)
-                cand, per_term = _phrase_filter(cand, per_term, positions)
+                cand, per_term = _phrase_apply(cand, per_term, by_term, bg)
                 if cand.size == 0:
                     return empty
             score = np.zeros(cand.size, dtype=np.float64)
@@ -373,18 +414,79 @@ def _make_shard_scorer(
                 return None, None
         return cand, per
 
-    def _positions_for(by_term, cand):
-        """Ragged positions aligned to cand for every phrase term: prune
-        blocks to the surviving candidate range, decode, and gather the
-        candidate postings (cand ⊆ term docs because phrase terms are
-        required)."""
+    def _positions_for(rows_by_term, cand, terms):
+        """Ragged positions aligned to cand for each term: prune blocks
+        to the surviving candidate range, decode, and gather the
+        candidate postings (cand ⊆ term docs — phrase terms are
+        required; bigram terms membership-pruned cand first)."""
         out = {}
-        for t in phrase_terms:
-            rows = _prune_blocks_by_range(by_term[t], cand)
+        for t in terms:
+            rows = _prune_blocks_by_range(rows_by_term[t], cand)
             tdocs, _ttfs, _tdls, tpos = _decode_term_blocks(rows, True)
             idx = np.searchsorted(tdocs, cand)
             out[t] = gather_ragged(*tpos, idx)
         return out
+
+    def _empty_cand(per_term):
+        z = np.empty(0, dtype=np.int64)
+        return z, {t: (v[0][:0], v[1][:0]) for t, v in per_term.items()}
+
+    def _phrase_apply(cand, per_term, by_term, bg):
+        """Phrase filtering over the candidate set, sidecar-aware.
+
+        Pass 1 — every COVERED adjacent pair prunes cand by membership
+        in its bigram doc list (candidate-pruned block decode, no
+        positions). A covered pair with no postings in this shard
+        means no adjacency in any of this shard's docs → empty.
+        Pass 2 — position verification on the reduced cand: fully
+        covered len-2 phrases are already exact; fully covered len≥3
+        phrases intersect the SIDECAR's position keys; partially
+        covered phrases verify with unigram positions (decoded late,
+        only surviving candidate blocks pay IO)."""
+        for _toks, pairs, _fully in phrase_plans:
+            for _off, bt in pairs:
+                if bt is None:
+                    continue
+                g = bg.get(bt)
+                if g is None:
+                    return _empty_cand(per_term)
+                rows = _prune_blocks_by_range(g, cand)
+                if len(rows) == 0:
+                    return _empty_cand(per_term)
+                bdocs = _decode_term_blocks(rows, False)[0]
+                mask = _member_mask(cand, bdocs)
+                cand = cand[mask]
+                per_term = {t: (v[0][mask], v[1][mask]) for t, v in per_term.items()}
+                if cand.size == 0:
+                    return cand, per_term
+        positions = (
+            _positions_for(by_term, cand, phrase_terms) if phrase_terms else {}
+        )
+        keep = np.ones(cand.size, dtype=bool)
+        for toks, pairs, fully in phrase_plans:
+            if fully and len(toks) == 2:
+                continue  # the single bigram's membership IS adjacency
+            if fully:
+                key_seq = [
+                    (off, _positions_for(bg, cand, [bt])[bt]) for off, bt in pairs
+                ]
+            else:
+                key_seq = [(off, positions[t]) for off, t in enumerate(toks)]
+            inter = None
+            for off, pos_pair in key_seq:
+                keys = _phrase_keys(pos_pair, off)
+                inter = keys if inter is None else np.intersect1d(
+                    inter, keys, assume_unique=True
+                )
+                if inter.size == 0:
+                    break
+            pkeep = np.zeros(cand.size, dtype=bool)
+            if inter is not None and inter.size:
+                pkeep[np.unique(inter >> 32)] = True
+            keep &= pkeep
+        cand = cand[keep]
+        per_term = {t: (v[0][keep], v[1][keep]) for t, v in per_term.items()}
+        return cand, per_term
 
     def _phrase_keys(pos_pair, off):
         """Ragged (counts, flat) positions → sorted unique int64 keys
@@ -400,30 +502,6 @@ def _make_shard_scorer(
         keys = (docidx << 32) | shifted
         keys = keys[shifted >= 0]
         return np.unique(keys)
-
-    def _phrase_filter(cand, per_term, positions):
-        """Vectorized phrase check: the candidate set keeps doc i iff,
-        for every phrase, the per-offset key sets intersect at some
-        start position — sorted-array intersections, no per-doc loop."""
-        if not phrases:
-            return cand, per_term
-        keep = np.ones(cand.size, dtype=bool)
-        for p in phrases:
-            inter = None
-            for off, t in enumerate(p):
-                keys = _phrase_keys(positions[t], off)
-                inter = keys if inter is None else np.intersect1d(
-                    inter, keys, assume_unique=True
-                )
-                if inter.size == 0:
-                    break
-            pkeep = np.zeros(cand.size, dtype=bool)
-            if inter is not None and inter.size:
-                pkeep[np.unique(inter >> 32)] = True
-            keep &= pkeep
-        cand = cand[keep]
-        per_term = {t: (v[0][keep], v[1][keep]) for t, v in per_term.items()}
-        return cand, per_term
 
     def _optional_contrib(rows, cand):
         rows = _prune_blocks_by_range(rows, cand)
@@ -680,8 +758,39 @@ def _candidates(
         return None  # `a -a`: must AND must_not on one term → no hits
     neg = [t for t in spec.not_terms if t not in boost]
     all_terms = required + boost
-    dict_rows = rd.dictionary_rows(all_terms + neg)
+    # hot-pair bigram sidecar plan: an adjacent phrase pair with BOTH
+    # tokens in the index's coverage set is looked up as a synthetic
+    # bigram term — membership prunes candidates before any position
+    # decode, and a fully covered phrase skips unigram position IO
+    # entirely (scoring is untouched: unigrams score BM25 as always,
+    # so rank identity with the brute oracle is preserved)
+    phrase_plans = None
+    bigram_fetch: list[str] = []
+    if spec.phrases and rd.bigram_cover:
+        from newsleak_spark.indexing.build import BIGRAM_SEP
+
+        plans = []
+        for p in spec.phrases:
+            pairs = tuple(
+                (
+                    i,
+                    p[i] + BIGRAM_SEP + p[i + 1]
+                    if p[i] in rd.bigram_cover and p[i + 1] in rd.bigram_cover
+                    else None,
+                )
+                for i in range(len(p) - 1)
+            )
+            plans.append((p, pairs, bool(pairs) and all(bt for _i, bt in pairs)))
+        phrase_plans = tuple(plans)
+        bigram_fetch = sorted({bt for _p, prs, _f in plans for _i, bt in prs if bt})
+    dict_rows = rd.dictionary_rows(all_terms + neg + bigram_fetch)
     if any(t not in dict_rows for t in required):
+        return None
+    if any(bt not in dict_rows for bt in bigram_fetch):
+        # a COVERED pair absent from the combined bigram dictionary was
+        # extracted by every part and found nowhere → the phrase has no
+        # adjacency anywhere in the collection → no hits (phrases are
+        # required terms)
         return None
     all_terms = [t for t in all_terms if t in dict_rows]
     # a must_not term absent from the collection excludes nothing; a
@@ -697,11 +806,11 @@ def _candidates(
         )
         for t in all_terms
     ]
-    fetch_terms = all_terms + [t for t in neg if t not in all_terms]
+    fetch_terms = all_terms + [t for t in neg if t not in all_terms] + bigram_fetch
     seg = rd.segments_for(fetch_terms, with_positions=bool(spec.phrases))
     scorer = _make_shard_scorer(
         metas, spec.phrases, rd.avgdl, spec.k, truncate=truncate,
-        safe_bounds=rd.multi, neg_terms=neg,
+        safe_bounds=rd.multi, neg_terms=neg, phrase_plans=phrase_plans,
     )
     if has_filters:
         # shard-local filtering: cogroup the shard's blocks with its

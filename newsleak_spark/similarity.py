@@ -597,15 +597,22 @@ IVF_NPROBE = 4
 # exact rerank → top-k) by hash. The k-means training itself stays
 # Spark-side — like the Porter stemmer in the english-analyzer row,
 # it is the one pinned, SQL-inexpressible stage, and the oracle
-# consumes its output rather than re-deriving it.
-_IVF_ASSIGN_TWIN = "/tmp/newsleak_spark_ivf_assign.parquet"
-_IVF_PROBES_TWIN = "/tmp/newsleak_spark_ivf_probes.parquet"
+# consumes its output rather than re-deriving it. Paths are keyed by
+# sf tag (newsleak_spark.twins) so concurrent runs at different
+# scales never clobber each other's twin.
+def _ivf_twin_paths(tag: str) -> tuple[str, str]:
+    from newsleak_spark.twins import twin_path
+
+    return (
+        twin_path("newsleak_spark_ivf_assign", tag),
+        twin_path("newsleak_spark_ivf_probes", tag),
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_ivf_topk_df(_emb(spark, sf_dir), twin_paths=(
-        _IVF_ASSIGN_TWIN, _IVF_PROBES_TWIN
-    ))
+    from newsleak_spark.twins import sf_tag
+
+    return ann_ivf_topk_df(_emb(spark, sf_dir), twin_paths=_ivf_twin_paths(sf_tag(sf_dir)))
 
 
 def ann_ivf_topk_df(
@@ -696,7 +703,11 @@ def ann_ivf_topk_oracle() -> str:
     state: candidate generation (cell equi-join + dedup), exact
     quantized-cosine rerank and top-k are all re-derived and
     hash-compared; only the k-means assignment itself is consumed as
-    pinned input (see _IVF_ASSIGN_TWIN note)."""
+    pinned input (see _ivf_twin_paths note). Renders against the
+    oracle sf tag (gate scale unless NEWSLEAK_ORACLE_SF_TAG is set)."""
+    from newsleak_spark.twins import oracle_sf_tag
+
+    assign_twin, probes_twin = _ivf_twin_paths(oracle_sf_tag())
     return f"""
 WITH flat AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -704,8 +715,8 @@ WITH flat AS (
   FROM embeddings
 ),
 norms AS (SELECT vec_id, SQRT(SUM(e * e)) AS nrm FROM flat GROUP BY vec_id),
-assigned AS (SELECT vec_id, cell FROM read_parquet('{_IVF_ASSIGN_TWIN}/*.parquet')),
-probes AS (SELECT qid, cell FROM read_parquet('{_IVF_PROBES_TWIN}/*.parquet')),
+assigned AS (SELECT vec_id, cell FROM read_parquet('{assign_twin}/*.parquet')),
+probes AS (SELECT qid, cell FROM read_parquet('{probes_twin}/*.parquet')),
 cand AS (
   SELECT DISTINCT p.qid, a.vec_id
   FROM assigned a JOIN probes p USING (cell)

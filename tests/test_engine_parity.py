@@ -62,7 +62,9 @@ def test_manifest_stats(spark, transcripts, index_dir):
     assert rd.avgdl > 0
     man = rd.man
     assert man.stats["n_hot_terms"] >= 1  # fixtures guarantee a hot term
-    assert set(man.data["stages"]) == {"tokenized", "docmeta", "postings", "dictionary", "segments"}
+    assert set(man.data["stages"]) == {
+        "tokenized", "docmeta", "postings", "dictionary", "bigrams", "segments"
+    }
     # per-partition lineage recorded for the segment stage
     seg = man.data["stages"]["segments"]
     assert seg["partitions"], "expected per-(shard,bucket) lineage"
@@ -78,7 +80,13 @@ def test_block_max_invariant(spark, index_dir):
 
     rd = IndexReader(spark, index_dir)
     rows = spark.read.parquet(f"{index_dir}/segments").limit(200).collect()
+    # segments carry both unigram and bigram-sidecar terms; each kind's
+    # df lives in its own dictionary
     dic = {r["term"]: r["df"] for r in spark.read.parquet(f"{index_dir}/dictionary").collect()}
+    dic.update(
+        (r["term"], r["df"])
+        for r in spark.read.parquet(f"{index_dir}/bigram_dictionary").collect()
+    )
     for r in rows:
         tfs = varint_decode(bytes(r["tfs"])).astype(np.int64)
         dls = varint_decode(bytes(r["dls"])).astype(np.int64)

@@ -69,6 +69,13 @@ def _norm_val(v):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    # render twin-consuming oracles (english, IVF) against THIS sweep's
+    # scale — the driver gate uses the default (gate scale sf0.01)
+    import os
+
+    from newsleak_spark.twins import ORACLE_SF_ENV, sf_tag
+
+    os.environ[ORACLE_SF_ENV] = sf_tag(sf_dir)
     spark = get_spark(cores=8)
     con = duckdb.connect()
     for t in TABLES:
