@@ -232,7 +232,7 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
     shutil.rmtree(warm_dir, ignore_errors=True)
     build_index(
         spark, synth_transcripts(spark, 50_000, partitions=64), warm_dir,
-        IndexConfig(), resume=False,
+        IndexConfig(hot_bigrams=False), resume=False,
     )
     shutil.rmtree(warm_dir, ignore_errors=True)
 
@@ -240,8 +240,16 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
     t = synth_transcripts(spark, n_turns, partitions=SCALE_PARTS)
 
+    # the scaling series is a FIXED pre-registered job: its 33-run
+    # history and the blind symmetric-quiet thresholds (legs within
+    # 1.25x of best-ever walls) are defined on this exact build. The
+    # round-4 bigram sidecar is therefore pinned OFF here — turning it
+    # on would grow both legs' walls and silently disqualify quiet
+    # windows under the old thresholds, invalidating the series.
+    cfg = IndexConfig(hot_bigrams=False)
+
     t0 = time.time()
-    build_index(spark, t, idx_dir, IndexConfig(), resume=False)
+    build_index(spark, t, idx_dir, cfg, resume=False)
     build_sec = time.time() - t0
 
     specs = [

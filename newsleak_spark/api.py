@@ -44,6 +44,7 @@ from newsleak_spark.query.engine import (
     index_state_key,
     matching_doc_ids,
     search,
+    search_heaps,
 )
 from newsleak_spark.query.spec import QuerySpec, parse_query_string, parse_time_range
 
@@ -88,6 +89,39 @@ def compile_spec(
     )
 
 
+def _merge_heaps(hrows: list, k: int) -> tuple[list, float]:
+    """Merge collected per-shard heap rows (shard, doc_id, score_e6)
+    into the global ranking and the rank through which it is exact.
+
+    A doc a TRUNCATED shard (one that returned exactly k rows) did not
+    return ranks strictly after that shard's weakest returned key, so
+    the merge is exact through every position whose key sorts <= the
+    minimum truncated-shard boundary key; with no truncated shard the
+    heaps are exhaustive and the whole merge is exact."""
+    per_shard: dict[int, int] = {}
+    boundary: dict[int, tuple[int, int]] = {}
+    for r in hrows:
+        s = r["shard"]
+        per_shard[s] = per_shard.get(s, 0) + 1
+        key = (-r["score_e6"], r["doc_id"])
+        if s not in boundary or key > boundary[s]:
+            boundary[s] = key
+    merged = sorted(hrows, key=lambda r: (-r["score_e6"], r["doc_id"]))
+    truncated = [boundary[s] for s, n in per_shard.items() if n >= k]
+    if not truncated:
+        return merged, float("inf")
+    cut = min(truncated)
+    safe_rank = sum(1 for r in merged if (-r["score_e6"], r["doc_id"]) <= cut)
+    return merged, safe_rank
+
+
+def _bad_request(e: ValueError) -> dict:
+    """F8 fail-closed parse errors surface as a structured 400 at the
+    API boundary (the controller's BadRequest analog) instead of an
+    uncaught exception from a raw user query string."""
+    return {"status": 400, "error": str(e)}
+
+
 class NewsleakAPI:
     """One handle = one collection: the transcripts table plus (when
     built) its segment index. ``index_dir=None`` degrades every ranked
@@ -96,10 +130,22 @@ class NewsleakAPI:
     # Bounded FIFO cache of collected ranked hits per normalized query
     # (the reference caches its SearchHitIterator by the query's
     # Facets hash across paginated requests,
-    # DocumentController.scala:284-287): page 2..n of the same query
-    # reuse page 1's collected top-k instead of re-running the scan,
-    # re-running only when a deeper page needs a LARGER k.
+    # DocumentController.scala:284-287). On the indexed path the cache
+    # holds the MERGED PER-SHARD HEAPS plus the rank through which that
+    # merge is provably exact, so pages 2..n are driver-side slices —
+    # the SearchHitIterator.scala:43-58 cursor semantics without the
+    # O(k·pages) growing-k re-run the round-3 pager paid.
     HIT_CACHE_MAX = 32
+    # Bounded FIFO cache of aggregation results (facet/timeline/
+    # network), keyed like the hit cache on (request, index state).
+    # The reference enables the ES request cache for every aggregation
+    # (ESRequestUtils.scala:68) EXCEPT timelines
+    # (TimelineService.scala:140, a date-math staleness concern);
+    # here the index-state mtime in the key makes timeline caching
+    # safe too, so all three endpoints cache. Only active when an
+    # index is attached — the brute path's input DataFrame carries no
+    # invalidation signal.
+    AGG_CACHE_MAX = 64
 
     def __init__(
         self,
@@ -112,8 +158,10 @@ class NewsleakAPI:
         self.transcripts = transcripts
         self.index_dir = index_dir
         self.mode = mode
-        self._hit_cache: dict[tuple, tuple[int, list]] = {}
+        self._hit_cache: dict[tuple, tuple[list, float]] = {}
+        self._agg_cache: dict[tuple, dict] = {}
         self.topk_runs = 0  # observability: ranked scans actually executed
+        self.agg_runs = 0  # observability: aggregation jobs actually executed
 
     # -- GET /getDocs -----------------------------------------------------
 
@@ -140,7 +188,10 @@ class NewsleakAPI:
         returned bodies only. ``with_total``: on the indexed path the
         count comes from the index alone (engine.count_hits, no text
         scan); brute fallback pays one matching_docs scan."""
-        spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
+        try:
+            spec = compile_spec(query, time_range, roles, tools, k=page * page_size, mode=self.mode)
+        except ValueError as e:
+            return _bad_request(e)
         # boost (should) terms highlight too — the ES highlighter wraps
         # every query term incl. should clauses (DocumentService.scala:406-418)
         targets = set(spec.all_scored_terms()) | set(spec.boost_terms)
@@ -196,25 +247,36 @@ class NewsleakAPI:
         """Top tool nodes over the filtered doc set + every pairwise
         edge in ONE self-join job (vs the reference's O(n²) sequential
         include-filtered aggregations, NetworkService.scala:152-175)."""
-        spec = compile_spec(query, time_range, mode=self.mode)
-        m = self._matching(spec)
-        nodes = facets_mod.facet_counts(m, "tool", k=n_nodes).collect()
-        node_vals = [r["value"] for r in nodes]
-        edges = (
-            facets_mod.cooccurrence(
-                m.filter(F.col("tool").isin(node_vals)).select("conv_id", "tool"),
-                "conv_id",
-                "tool",
-                min_count=min_edge,
-            ).collect()
+        try:
+            spec = compile_spec(query, time_range, mode=self.mode)
+        except ValueError as e:
+            return _bad_request(e)
+
+        def compute() -> dict:
+            m = self._matching(spec)
+            nodes = facets_mod.facet_counts(m, "tool", k=n_nodes).collect()
+            node_vals = [r["value"] for r in nodes]
+            edges = (
+                facets_mod.cooccurrence(
+                    m.filter(F.col("tool").isin(node_vals)).select("conv_id", "tool"),
+                    "conv_id",
+                    "tool",
+                    min_count=min_edge,
+                ).collect()
+            )
+            return {
+                "nodes": [{"id": r["value"], "occurrence": r["n_docs"]} for r in nodes],
+                "relationships": [
+                    {"source": r["source"], "target": r["target"], "weight": r["weight"]}
+                    for r in edges
+                ],
+            }
+
+        from dataclasses import replace
+
+        return self._agg_cached(
+            ("subgraph", replace(spec, k=0).cache_key(), n_nodes, min_edge), compute
         )
-        return {
-            "nodes": [{"id": r["value"], "occurrence": r["n_docs"]} for r in nodes],
-            "relationships": [
-                {"source": r["source"], "target": r["target"], "weight": r["weight"]}
-                for r in edges
-            ],
-        }
 
     # -- GET /getTimeline ---------------------------------------------------
 
@@ -222,14 +284,25 @@ class NewsleakAPI:
         self, query: str = "", time_range: str | None = None, lod: str = "month"
     ) -> dict:
         """Dense date-histogram buckets at the LoD (decade|year|month|day)."""
-        spec = compile_spec(query, time_range, mode=self.mode)
-        m = self._matching(spec)
-        rows = facets_mod.date_histogram(m, lod).collect()
-        key = "decade" if lod == "decade" else "bucket"
-        return {
-            "lod": lod,
-            "buckets": [{"key": str(r[key]), "docCount": r["n_docs"]} for r in rows],
-        }
+        try:
+            spec = compile_spec(query, time_range, mode=self.mode)
+        except ValueError as e:
+            return _bad_request(e)
+
+        def compute() -> dict:
+            m = self._matching(spec)
+            rows = facets_mod.date_histogram(m, lod).collect()
+            key = "decade" if lod == "decade" else "bucket"
+            return {
+                "lod": lod,
+                "buckets": [{"key": str(r[key]), "docCount": r["n_docs"]} for r in rows],
+            }
+
+        from dataclasses import replace
+
+        return self._agg_cached(
+            ("timeline", replace(spec, k=0).cache_key(), lod), compute
+        )
 
     # -- GET /getAggregate ---------------------------------------------------
 
@@ -242,13 +315,30 @@ class NewsleakAPI:
         include: list[str] | None = None,
         exclude: list[str] | None = None,
     ) -> dict:
-        spec = compile_spec(query, time_range, mode=self.mode)
-        m = self._matching(spec)
-        rows = facets_mod.facet_counts(m, facet_key, k=size, include=include, exclude=exclude).collect()
-        return {
-            "key": facet_key,
-            "buckets": [{"key": r["value"], "docCount": r["n_docs"]} for r in rows],
-        }
+        try:
+            spec = compile_spec(query, time_range, mode=self.mode)
+        except ValueError as e:
+            return _bad_request(e)
+
+        def compute() -> dict:
+            m = self._matching(spec)
+            rows = facets_mod.facet_counts(
+                m, facet_key, k=size, include=include, exclude=exclude
+            ).collect()
+            return {
+                "key": facet_key,
+                "buckets": [{"key": r["value"], "docCount": r["n_docs"]} for r in rows],
+            }
+
+        from dataclasses import replace
+
+        return self._agg_cached(
+            (
+                "aggregate", replace(spec, k=0).cache_key(), facet_key, size,
+                tuple(include or ()), tuple(exclude or ()),
+            ),
+            compute,
+        )
 
     # -- internals ----------------------------------------------------------
 
@@ -259,9 +349,12 @@ class NewsleakAPI:
 
     def _ranked_rows(self, spec: QuerySpec) -> list:
         """Collected top-k rows for the spec, cache-aware: keyed by the
-        spec NORMALIZED WITHOUT k, so any page whose depth fits an
-        already-collected deeper run is served driver-side (a cached
-        top-100 answers pages 1..N of size<=100/N). Bounded FIFO."""
+        spec NORMALIZED WITHOUT k, so any page whose rank is provably
+        exact from an already-collected run is served driver-side.
+        Indexed path: ONE search_heaps scan caches every shard's top-k
+        (n_shards·k rows, bounded); the merged list answers pages up to
+        the exactness bound — typically many pages — before any re-run.
+        Bounded FIFO."""
         from dataclasses import replace
 
         # the index state rides in the key: append_index/compaction on
@@ -271,18 +364,45 @@ class NewsleakAPI:
         key = (replace(spec, k=0).cache_key(), state)
         cached = self._hit_cache.get(key)
         if cached is not None:
-            cached_k, rows = cached
-            # a request is fully answerable from cache iff the cached
-            # run was truncated at >= spec.k, OR it returned fewer rows
-            # than ITS OWN k (the result set is exhausted)
-            if cached_k >= spec.k or len(rows) < cached_k:
+            rows, safe_rank = cached
+            # answerable iff the merge is exact through spec.k, or the
+            # result set is exhausted (fewer rows than the bound allows)
+            if spec.k <= safe_rank or len(rows) < safe_rank:
                 return rows[: spec.k]
         self.topk_runs += 1
-        rows = self._topk(spec).collect()
+        if self.index_dir is not None:
+            heaps = search_heaps(self.spark, self.index_dir, spec)
+        else:
+            heaps = None
+        if heaps is not None:
+            rows, safe_rank = _merge_heaps(heaps.collect(), spec.k)
+        else:
+            # brute / match_all fallback: plain top-k, exact through k
+            rows = self._topk(spec).collect()
+            safe_rank = float("inf") if len(rows) < spec.k else spec.k
         if len(self._hit_cache) >= self.HIT_CACHE_MAX:
             self._hit_cache.pop(next(iter(self._hit_cache)))
-        self._hit_cache[key] = (spec.k, rows)
-        return rows
+        self._hit_cache[key] = (rows, safe_rank)
+        return rows[: spec.k]
+
+    def _agg_cached(self, key: tuple, compute):
+        """Aggregation result memo (facet/timeline/network): bounded
+        FIFO keyed on (request, index state); brute path (no index)
+        computes uncached — its input DataFrame has no invalidation
+        signal."""
+        if self.index_dir is None:
+            self.agg_runs += 1
+            return compute()
+        full_key = (key, index_state_key(self.index_dir))
+        hit = self._agg_cache.get(full_key)
+        if hit is not None:
+            return hit
+        self.agg_runs += 1
+        out = compute()
+        if len(self._agg_cache) >= self.AGG_CACHE_MAX:
+            self._agg_cache.pop(next(iter(self._agg_cache)))
+        self._agg_cache[full_key] = out
+        return out
 
     def _matching(self, spec: QuerySpec) -> DataFrame:
         """Query-filtered doc set for aggregation endpoints. Indexed

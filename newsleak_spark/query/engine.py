@@ -250,8 +250,14 @@ def _make_shard_scorer(
     safe_bounds: bool = False,
     neg_terms: tuple[str, ...] = (),
     phrase_plans: tuple | None = None,
+    emit_shard: bool = False,
 ):
     """Returns the applyInPandas function scoring one shard's blocks.
+
+    ``emit_shard`` adds the shard id to the output rows (schema
+    "shard int, doc_id long, score double") so the serving layer can
+    cache the PER-SHARD top-k heaps and compute how deep the merged
+    ranking is exact (deep pagination without growing-k re-runs).
 
     With metadata/date filters the function is used through cogroup:
     the second frame carries the shard's FILTER-SURVIVING doc_ids, so
@@ -282,6 +288,8 @@ def _make_shard_scorer(
 
     def _score(pdf: pd.DataFrame, allowed_pdf: pd.DataFrame | None = None) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        if emit_shard:
+            empty.insert(0, "shard", pd.Series(dtype="int32"))
         allowed = None
         if allowed_pdf is not None:
             allowed = np.sort(allowed_pdf["doc_id"].to_numpy(dtype=np.int64))
@@ -352,7 +360,10 @@ def _make_shard_scorer(
             # tie-break
             order = np.lexsort((out_docs, -np.round(out_scores * 1e6)))[:k]
             out_docs, out_scores = out_docs[order], out_scores[order]
-        return pd.DataFrame({"doc_id": out_docs.astype(np.int64), "score": out_scores})
+        out = pd.DataFrame({"doc_id": out_docs.astype(np.int64), "score": out_scores})
+        if emit_shard:
+            out.insert(0, "shard", np.int32(pdf["shard"].iloc[0]))
+        return out
 
     def _member_mask(docs, allowed):
         idx = np.searchsorted(allowed, docs)
@@ -738,7 +749,8 @@ def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:
 
 
 def _candidates(
-    spark: SparkSession, rd: IndexReader, spec: QuerySpec, truncate: bool
+    spark: SparkSession, rd: IndexReader, spec: QuerySpec, truncate: bool,
+    emit_shard: bool = False,
 ) -> DataFrame | None:
     """Shared candidate pipeline of search() and matching_doc_ids():
     dictionary lookup → segment scan (bucket-pruned) → shard-local
@@ -811,7 +823,9 @@ def _candidates(
     scorer = _make_shard_scorer(
         metas, spec.phrases, rd.avgdl, spec.k, truncate=truncate,
         safe_bounds=rd.multi, neg_terms=neg, phrase_plans=phrase_plans,
+        emit_shard=emit_shard,
     )
+    schema = ("shard int, " if emit_shard else "") + "doc_id long, score double"
     if has_filters:
         # shard-local filtering: cogroup the shard's blocks with its
         # filter-surviving doc_ids (docmeta is shard-partitioned, so
@@ -821,9 +835,9 @@ def _candidates(
         return (
             seg.groupBy("shard")
             .cogroup(meta.groupBy("shard"))
-            .applyInPandas(scorer.cogrouped, "doc_id long, score double")
+            .applyInPandas(scorer.cogrouped, schema)
         )
-    return seg.groupBy("shard").applyInPandas(scorer, "doc_id long, score double")
+    return seg.groupBy("shard").applyInPandas(scorer, schema)
 
 
 def search(
@@ -855,6 +869,37 @@ def search(
         return spark.createDataFrame([], "doc_id long, score_e6 long")
     out = cand.select("doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
     return out.orderBy(F.desc("score_e6"), F.asc("doc_id")).limit(spec.k)
+
+
+def search_heaps(
+    spark: SparkSession, index_dir: str, spec: QuerySpec, reader: IndexReader | None = None
+) -> DataFrame | None:
+    """Per-shard top-k heaps for deep pagination: (shard, doc_id,
+    score_e6), each shard's top-spec.k by the global sort key. The
+    SERVING layer merges these driver-side and can answer any page
+    whose rank is provably exact from the heaps alone — the
+    distributed analog of the reference's SearchHitIterator cursor
+    (SearchHitIterator.scala:43-58): one scan, then O(pages) slicing,
+    instead of re-running the whole top-k at growing k per page.
+
+    Exactness bound (computed by the caller from these rows): a doc a
+    TRUNCATED shard did not return ranks strictly after that shard's
+    k-th returned row, so the merged ranking is exact through every
+    position whose key sorts <= the minimum truncated-shard boundary
+    key. Returns None for no-scored-term (match_all / filters-only)
+    specs — those page through docmeta directly."""
+    from newsleak_spark.session import ensure_workers_can_import
+
+    if not spec.all_scored_terms() and not spec.boost_terms:
+        return None
+    ensure_workers_can_import(spark)
+    rd = reader or _cached_reader(spark, index_dir)
+    cand = _candidates(spark, rd, spec, truncate=True, emit_shard=True)
+    if cand is None:
+        return spark.createDataFrame([], "shard int, doc_id long, score_e6 long")
+    return cand.select(
+        "shard", "doc_id", F.round(F.col("score") * 1e6).cast("long").alias("score_e6")
+    )
 
 
 def matching_doc_ids(

@@ -16,7 +16,7 @@ Ops:
   dedup_corpus       the apply step: per-doc keep/drop decision
                      (exact_dup < near_dup < kept precedence)
   dedup_simhash      16-bit SimHash from md5 nibbles (tf-weighted)
-  lang_id            stopword-hit heuristic language ID
+  lang_id            char-trigram profile language ID (Cavnar-Trenkle)
   quality_score      length / TTR / stopword-ratio quality features
   token_count        whitespace + BPE-ish regex token counts
   fingerprint        document fingerprint (md5 of canonical token form)
@@ -64,6 +64,83 @@ MAX_BUCKET = 200
 _EN_STOP = "the a and of to in is it that was".split()
 _ES_STOP = "el la de que y en un los se del".split()
 _DE_STOP = "der die das und ist ein nicht mit sich auf".split()
+
+# --- A8 char-trigram language profiles ------------------------------------
+# Cavnar & Trenkle, "N-Gram-Based Text Categorization" (1994) — the
+# public technique behind most heuristic language ID; the reference
+# uses an OpenNLP MaxEnt model over the first 3,000 chars
+# (annotator/LanguageDetector.java:116-138). The profiles are derived
+# at import time from the pinned seed paragraphs below (deterministic:
+# count trigrams, top N by (count desc, gram asc), integer weight
+# PROFILE_SIZE - rank) so the classifier is fully transparent, needs no
+# model artifact, and stays integer-exact for the DuckDB oracle.
+# Seeds are ASCII (accents transliterated): the normalizer strips
+# everything outside [a-z ] identically in both engines.
+_LANG_SEEDS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and runs into the woods. "
+        "this is a short message about the weather and the news of the day. "
+        "we are going to the market in the morning with our friends. "
+        "she said that it was the best thing that could have happened. "
+        "there is nothing more important than being able to think for yourself. "
+        "what do you want to do when the work is finished tonight. "
+        "they have been working on this project for more than three years. "
+        "it would be better if everyone could agree on what should happen next. "
+        "in the evening the children played games in the garden behind the house. "
+        "he opened the window and looked out over the quiet city streets. "
+        "many people believe that reading books makes life richer and fuller. "
+        "the train arrived late because of the heavy snow in the mountains."
+    ),
+    "es": (
+        "el perro corre por el parque con los ninos de la escuela. "
+        "esta es una historia sobre la vida en la ciudad y sus calles. "
+        "vamos a la playa por la manana con nuestros amigos para nadar. "
+        "ella dijo que era lo mejor que podia haber pasado en su vida. "
+        "no hay nada mas importante que poder pensar por uno mismo. "
+        "que quieres hacer cuando termine el trabajo esta noche. "
+        "han estado trabajando en este proyecto durante mas de tres anos. "
+        "seria mejor que todos estuvieran de acuerdo en lo que debe pasar. "
+        "por la tarde los ninos jugaban en el jardin detras de la casa. "
+        "abrio la ventana y miro las calles tranquilas de la ciudad. "
+        "mucha gente cree que leer libros hace la vida mas rica y plena. "
+        "el tren llego tarde por la nieve intensa en las montanas."
+    ),
+    "de": (
+        "der hund lauft durch den park mit den kindern aus der schule. "
+        "das ist eine geschichte uber das leben in der stadt und ihren strassen. "
+        "wir gehen am morgen mit unseren freunden an den strand zum schwimmen. "
+        "sie sagte dass es das beste war was passieren konnte. "
+        "es gibt nichts wichtigeres als selbst denken zu koennen. "
+        "was willst du machen wenn die arbeit heute abend fertig ist. "
+        "sie arbeiten seit mehr als drei jahren an diesem projekt. "
+        "es waere besser wenn sich alle einig waeren was als naechstes geschehen soll. "
+        "am abend spielten die kinder im garten hinter dem haus verstecken. "
+        "er oeffnete das fenster und schaute auf die stillen strassen der stadt. "
+        "viele menschen glauben dass das lesen von buechern das leben reicher macht. "
+        "der zug kam wegen des starken schnees in den bergen zu spaet an."
+    ),
+}
+PROFILE_SIZE = 96
+LANG_ID_PREFIX = 3000  # reference reads the first 3,000 chars
+
+
+def _lang_normalize_py(s: str) -> str:
+    import re
+
+    return re.sub(" +", " ", re.sub("[^a-z ]", " ", s.lower()))
+
+
+def lang_profiles() -> list[tuple[str, str, int]]:
+    """(lang, trigram, weight) rows — deterministic from the seeds."""
+    from collections import Counter
+
+    out: list[tuple[str, str, int]] = []
+    for lang in sorted(_LANG_SEEDS):
+        txt = _lang_normalize_py(_LANG_SEEDS[lang])
+        counts = Counter(txt[i : i + 3] for i in range(len(txt) - 2))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PROFILE_SIZE]
+        out.extend((lang, g, PROFILE_SIZE - r) for r, (g, _n) in enumerate(top))
+    return out
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,24 +556,40 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID: stopword-hit argmax over en/es/de lists
-    (A8 analog — OpenNLP MaxEnt replaced by an n-gram/stopword heuristic;
-    LanguageDetector.java:116-138). Ties → lexicographically first lang;
-    zero hits → 'und'."""
-    rows = (
-        [("en", w) for w in _EN_STOP] + [("es", w) for w in _ES_STOP] + [("de", w) for w in _DE_STOP]
+def _lang_grams(text_col: str = "text"):
+    """Char trigrams of the normalized first LANG_ID_PREFIX chars —
+    the exact expression the DuckDB oracle mirrors (1-based substring
+    in both engines; regexp_replace global in both)."""
+    norm = (
+        f"regexp_replace(regexp_replace(lower(substring({text_col}, 1, "
+        f"{LANG_ID_PREFIX})), '[^a-z ]', ' '), ' +', ' ')"
     )
-    stop = spark.createDataFrame(rows, "lang string, term string")
-    d = _docs(spark, sf_dir).select("doc_id", F.explode(_toks()).alias("term"))
+    return F.expr(
+        f"CASE WHEN length({norm}) >= 3 THEN "
+        f"transform(sequence(1, length({norm}) - 2), i -> substring({norm}, i, 3)) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 language ID: char-trigram profile classifier (Cavnar &
+    Trenkle 1994) over the first 3,000 chars — the reference's OpenNLP
+    MaxEnt (LanguageDetector.java:116-138) re-expressed as a pinned,
+    SQL-exact profile scorer. Doc trigrams join the broadcast profile
+    table; score = Σ weight per language; argmax with ties →
+    lexicographically first lang; zero profile hits → 'und'.
+    Row-local + one broadcast join + one hash-agg: no data-scale
+    shuffle beyond the per-doc aggregation."""
+    prof = spark.createDataFrame(lang_profiles(), "lang string, gram string, w int")
+    d = _docs(spark, sf_dir).select("doc_id", F.explode(_lang_grams()).alias("gram"))
     hits = (
-        d.join(F.broadcast(stop), "term")
+        d.join(F.broadcast(prof), "gram")
         .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("w").alias("s"))
     )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("lang"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
     best = hits.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select("doc_id", "lang")
     docs = _docs(spark, sf_dir).select("doc_id")
     return (
@@ -666,10 +759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _vals(lang: str, words: list[str]) -> str:
-    return ", ".join(f"('{lang}', '{w}')" for w in words)
-
-
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["dedup_exact"] = f"""
@@ -802,20 +891,33 @@ SELECT gram, COUNT(*) AS n FROM (
        UNNEST(range(GREATEST(len(t) - 1, 0))) AS u(i)
 ) GROUP BY gram ORDER BY n DESC, gram ASC LIMIT {NGRAM_TOP}"""
 
+    prof_vals = ", ".join(
+        f"('{lang}', '{gram.replace(chr(39), chr(39) * 2)}', {w})"
+        for lang, gram, w in lang_profiles()
+    )
     o["lang_id"] = f"""
-WITH stop(lang, term) AS (VALUES {_vals('en', _EN_STOP)}, {_vals('es', _ES_STOP)}, {_vals('de', _DE_STOP)}),
-tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+WITH prof(lang, gram, w) AS (VALUES {prof_vals}),
+d AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(substr(text, 1, {LANG_ID_PREFIX})),
+                        '[^a-z ]', ' ', 'g'), ' +', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, substr(t, CAST(i AS INT) + 1, 3) AS gram
+  FROM d, UNNEST(range(GREATEST(len(t) - 2, 0))) AS u(i)
+),
 hits AS (
-  SELECT doc_id, lang, COUNT(*) AS n FROM tok JOIN stop USING (term) GROUP BY doc_id, lang
+  SELECT doc_id, lang, SUM(w) AS s FROM g JOIN prof USING (gram) GROUP BY doc_id, lang
 ),
 best AS (
   SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rk
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rk
   FROM hits
 )
-SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang
-FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b USING (doc_id)
-ORDER BY d.doc_id"""
+SELECT d2.doc_id, COALESCE(b.lang, 'und') AS pred_lang
+FROM documents d2 LEFT JOIN (SELECT doc_id, lang FROM best WHERE rk = 1) b USING (doc_id)
+ORDER BY d2.doc_id"""
 
     stop_list = ", ".join(f"'{w}'" for w in _EN_STOP)
     o["quality_score"] = f"""

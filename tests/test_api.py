@@ -202,3 +202,84 @@ def test_get_docs_hit_cache_across_pages(spark, transcripts):
     r1c = api.get_docs("table", page=1, page_size=5, with_total=False, highlight=False)
     assert api.topk_runs == 2
     assert [d["id"] for d in r1c["docs"]] == [d["id"] for d in r1["docs"]]
+
+
+def test_merge_heaps_exactness_bound():
+    """_merge_heaps unit semantics: the merged ranking is exact through
+    the minimum truncated-shard boundary key; untruncated shards are
+    exhaustive."""
+    from newsleak_spark.api import _merge_heaps
+
+    mk = lambda s, d, sc: {"shard": s, "doc_id": d, "score_e6": sc}
+    # k=2: shard 0 truncated (2 rows, weakest score 80), shard 1
+    # exhausted (1 row). Rows scoring >= 80 are exact; doc 4 (score 70)
+    # could be displaced by shard 0's unreturned docs.
+    rows = [mk(0, 1, 100), mk(0, 2, 80), mk(1, 3, 90), mk(1, 4, 70)]
+    merged, safe = _merge_heaps(rows, 2)
+    assert [r["doc_id"] for r in merged] == [1, 3, 2, 4]
+    # both shards truncated; the MOST RESTRICTIVE boundary is shard 0's
+    # (score 80): an unreturned shard-0 doc could score 79 and displace
+    # doc 4 (score 70), so only the first 3 positions are exact
+    assert safe == 3
+    # only shard 0 truncated: boundary (80, 2) -> exact through doc 2
+    merged, safe = _merge_heaps([mk(0, 1, 100), mk(0, 2, 80), mk(1, 3, 90)], 2)
+    assert safe == 3
+    # no shard truncated: exhaustive
+    _merged, safe = _merge_heaps([mk(0, 1, 100), mk(1, 3, 90)], 5)
+    assert safe == float("inf")
+
+
+def test_indexed_pagination_vs_full_rank(spark, transcripts, index_dir):
+    """Pagination vs full rank (T2 / SearchHitIterator.scala:43-58):
+    pages concatenated == one deep top-k, and pages within the heap
+    exactness bound run NO new ranked scan (the round-3 pager re-ran
+    the whole top-k at growing k per page boundary)."""
+    from newsleak_spark.query.engine import search
+
+    api = NewsleakAPI(spark, transcripts, index_dir)
+    pages = []
+    for p in range(1, 5):
+        pages += [
+            d["id"]
+            for d in api.get_docs(
+                "table", page=p, page_size=5, with_total=False, highlight=False
+            )["docs"]
+        ]
+    want = [r["doc_id"] for r in search(spark, index_dir, QuerySpec(terms=("table",), k=20)).collect()]
+    assert pages == want
+    # one heap scan answers several pages: with 4 shards the merge is
+    # exact well past page 1, so 4 pages never cost 4 scans
+    assert api.topk_runs <= 2
+
+
+def test_aggregation_result_cache(spark, transcripts, index_dir):
+    """Facet/timeline/network results are cached on (request, index
+    state): a repeat request runs no new aggregation job; a different
+    request does (reference: ES request cache, ESRequestUtils.scala:68)."""
+    api = NewsleakAPI(spark, transcripts, index_dir)
+    r1 = api.aggregate("role", query="table", size=5)
+    assert api.agg_runs == 1
+    assert api.aggregate("role", query="table", size=5) == r1
+    assert api.agg_runs == 1  # cache hit
+    t1 = api.get_timeline("table", lod="year")
+    assert api.agg_runs == 2
+    assert api.get_timeline("table", lod="year") == t1
+    assert api.agg_runs == 2
+    g1 = api.induce_subgraph("table")
+    assert api.agg_runs == 3
+    assert api.induce_subgraph("table") == g1
+    assert api.agg_runs == 3
+    api.aggregate("role", query="merge", size=5)  # different spec -> job
+    assert api.agg_runs == 4
+
+
+def test_bad_query_returns_400(api):
+    """F8 fail-closed parse errors (negated quoted phrase) surface as a
+    structured 400 from every endpoint, not an uncaught ValueError."""
+    for out in (
+        api.get_docs('-"foo bar"'),
+        api.aggregate("role", query='-"foo bar"'),
+        api.get_timeline('-"foo bar"'),
+        api.induce_subgraph('-"foo bar"'),
+    ):
+        assert out["status"] == 400 and "negated quoted phrase" in out["error"]
