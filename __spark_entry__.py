@@ -50,15 +50,18 @@ _TOKS = (
 # the window: every engine row, one brute representative per query
 # shape, and every op new or changed this round. Round-4 rotation
 # (VERDICT r3 item 3): the three never-driver-verified entries
-# (f1_bm25_not_only, fingerprint, mm_frame_sample) plus lang_id
-# enter the window; four stable multi-round-green siblings
-# leave it (f1_bm25_and — its engine twin e1_engine_and stays;
-# f6_timex_range — f6_timex_tagged stays; dedup_simhash;
-# ev_json_props). Entries not listed follow in registration order;
+# (f1_bm25_not_only, fingerprint, mm_frame_sample) plus lang_id and
+# the new sidecar-path row e1_engine_phrase_hot enter the window;
+# five stable multi-round-green siblings leave it (f1_bm25_and — its
+# engine twin e1_engine_and stays; f6_timex_range — f6_timex_tagged
+# stays; dedup_simhash; ev_json_props; dedup_ngram_jaccard — four
+# dedup-family siblings stay). Entries not listed follow in
+# registration order;
 # each is driver-green from an earlier round and unchanged, and
 # tools/check_oracle.py covers ALL entries locally at sf0.01 and sf0.1.
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
+    "e1_engine_phrase_hot",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
     "e1_engine_not", "e1_engine_not_only", "e1_engine_union_not",
     "e1_engine_english",
@@ -69,7 +72,7 @@ _GATE_PRIORITY = [
     "a11_timex_tag", "a12_ner", "f6_timex_tagged",
     "f3_entity_extracted", "g4_entity_typed_facet",
     "u_set_algebra", "a9_keyterms",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_exact", "dedup_minhash_lsh",
     "dedup_cluster", "dedup_corpus",
     "lang_id", "fingerprint",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
@@ -106,6 +109,11 @@ _SPECS = {
     # F1 must_not: AND + exclusion, and a not-only (match_all minus) query
     "f1_bm25_not": QuerySpec(terms=("table",), not_terms=("join",), k=20),
     "f1_bm25_not_only": QuerySpec(not_terms=("table", "merge"), k=20),
+    # a phrase of two TOP-CF terms at the gate scale (sf0.01): its
+    # engine twin exercises the bigram-sidecar membership path (both
+    # tokens in the top-8 extraction set), hash-verified against the
+    # same position-aware brute oracle as any phrase
+    "f1_bm25_phrase_hot": QuerySpec(phrases=(("customer", "join"),), k=20),
 }
 
 # F8: the user-facing string forms — query_string with a quoted phrase
@@ -134,6 +142,7 @@ _ENGINE_SPECS = {
     "e1_engine_single": "f1_bm25_single",
     "e1_engine_and": "f1_bm25_and",
     "e1_engine_phrase": "f1_bm25_phrase",
+    "e1_engine_phrase_hot": "f1_bm25_phrase_hot",
     "e1_engine_filtered": "f2_f5_bm25_filtered",
     "e1_engine_boost": "f7_bm25_boost",
     "e1_engine_union": None,  # boost-only scored union → BMW path

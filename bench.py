@@ -196,7 +196,10 @@ def _compact(full: dict) -> dict:
             "n_runs": s.get("n_runs"),
             "n_turns": s.get("n_turns"),
             "build_turns_per_sec_4n": s.get("4n_executors", {}).get("build_turns_per_sec"),
-            "pair": "local-cluster 1x2 vs 4x2 executor JVMs",
+            "pair": (
+                f"local-cluster 1x{s.get('executor_cores', 2)} vs "
+                f"4x{s.get('executor_cores', 2)} executor JVMs"
+            ),
             "selected": s.get("selected"),
             "detail": "tools/scaling_result.json",
         }
@@ -209,6 +212,17 @@ def _compact(full: dict) -> dict:
 
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "800000"))
 SCALE_PARTS = 128  # fixed partition count → identical work split at both levels
+# Executor-core width of the N vs 4N pair. The original (round 1-3)
+# series uses 2-core executors: 1x2 vs 4x2 JVMs, whose 4N leg demands
+# ~16 host processes (JVM task threads + python workers) — beyond what
+# this overcommitted VM reliably delivers even when idle (measured
+# hw ceiling 0.54-0.95). SPARK_GRAFT_SCALE_CORES=1 runs a second,
+# separately-keyed series (1x1 vs 4x1 = ~2 vs ~8 host processes) whose
+# 4N demand fits the deliverable cores, so it measures the ENGINE's
+# N->4N strong scaling rather than host overcommit. Both series keep
+# every run in the same history; selection and the blind quiet rule
+# only ever compare runs of the SAME (n_turns, executor_cores) config.
+SCALE_CORES = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "2"))
 
 
 def _scaling_child(n_exec: int, n_turns: int) -> None:
@@ -223,7 +237,7 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
     from newsleak_spark.transcripts import synth_transcripts
 
     spark = get_spark(
-        app_name=f"scaling_{n_exec}x", executors=n_exec, executor_cores=2,
+        app_name=f"scaling_{n_exec}x", executors=n_exec, executor_cores=SCALE_CORES,
         shuffle_partitions=SCALE_PARTS,
     )
     spark.range(1_000).count()
@@ -269,7 +283,7 @@ def _scaling_child(n_exec: int, n_turns: int) -> None:
         + json.dumps(
             {
                 "executors": n_exec,
-                "cores": n_exec * 2,
+                "cores": n_exec * SCALE_CORES,
                 "n_turns": n_turns,
                 "build_sec": round(build_sec, 2),
                 "build_turns_per_sec": round(n_turns / build_sec, 1),
@@ -292,26 +306,28 @@ def _host_speed() -> float:
 
 def _hw_ceiling() -> dict:
     """Same-moment hardware scaling ceiling at the pair's TRUE process
-    demand. A '2-core' executor running Arrow UDF stages demands ~4
-    processes (2 JVM task threads + 2 python workers), so the N=1 vs
-    4N=4 pair really contends for ~4 vs ~16 host processes; on this
-    time-shared VM the deliverable ratio varies by hour. Measuring it
-    with the engine run (pure-CPU burn, tools/cpu_calibration.py) lets
-    the evidence separate engine scaling from host weather."""
+    demand. An executor running Arrow UDF stages demands ~2 processes
+    per core (JVM task thread + python worker), so the N=1 vs 4N=4
+    pair really contends for ~2·cores vs ~8·cores host processes; on
+    this time-shared VM the deliverable ratio varies by hour.
+    Measuring it with the engine run (pure-CPU burn,
+    tools/cpu_calibration.py) lets the evidence separate engine
+    scaling from host weather."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     from cpu_calibration import burn  # noqa: E402
     import multiprocessing as mp
 
+    pair = (2 * SCALE_CORES, 8 * SCALE_CORES)
     out = {}
-    for p in (4, 16):
+    for p in pair:
         with mp.Pool(p) as pool:
             t0 = time.time()
             pool.map(burn, range(p))
             out[p] = p / (time.time() - t0)
     return {
         "units_per_sec": {str(k): round(v, 3) for k, v in out.items()},
-        "hw_speedup_4x": round(out[16] / out[4], 3),
-        "hw_efficiency_4x": round(out[16] / out[4] / 4.0, 3),
+        "hw_speedup_4x": round(out[pair[1]] / out[pair[0]], 3),
+        "hw_efficiency_4x": round(out[pair[1]] / out[pair[0]] / 4.0, 3),
     }
 
 
@@ -351,10 +367,12 @@ def _run_scaling(n_turns: int) -> dict:
     speedup = thpt_4n / thpt_n
     out = {
         "kind": "strong_scaling_same_input",
+        "executor_cores": SCALE_CORES,
         "hw_ceiling": hw,
         "efficiency_vs_hw_ceiling": round(speedup / hw_speedup, 3),
-        "proxy": "local-cluster[1,2,4096] vs local-cluster[4,2,4096]: "
-        "N=1 vs 4N=4 separate executor JVMs (2 cores each) on one host, "
+        "proxy": f"local-cluster[1,{SCALE_CORES},4096] vs "
+        f"local-cluster[4,{SCALE_CORES},4096]: N=1 vs 4N=4 separate "
+        f"executor JVMs ({SCALE_CORES} core(s) each) on one host, "
         f"same input, fixed {SCALE_PARTS} shuffle partitions; pair sized "
         "within the measured host-CPU ceiling (tools/cpu_calibration.py: "
         "the VM's 32 vCPUs deliver only ~12-16 cores of real throughput, "
@@ -391,10 +409,14 @@ def reselect_scaling_cache(n_turns: int, fallback: dict | None = None) -> dict:
     with open(SCALING_HISTORY) as f:
         runs = [json.loads(line) for line in f if line.strip()]
     # only runs of the SAME configuration compete — a best-of across
-    # different n_turns would let an old 800k run mask a 2.4M request
-    runs = [r for r in runs if r.get("n_turns") == n_turns] or (
-        [fallback] if fallback else runs
-    )
+    # different n_turns (or a different executor-core series) would
+    # let one configuration's run mask another's request
+    runs = [
+        r
+        for r in runs
+        if r.get("n_turns") == n_turns
+        and int(r.get("executor_cores", 2)) == SCALE_CORES
+    ] or ([fallback] if fallback else runs)
     # validity: strong-scaling efficiency CANNOT genuinely exceed 1 —
     # a run above ~1.05 means the N=1 baseline leg caught host
     # contention the 4N leg escaped (e.g. 14:07 run: baseline build

@@ -75,6 +75,18 @@ class IndexConfig:
     n_salts: int = 8                # salt fan-out for hot-term encode
     with_positions: bool = True     # store positions (phrase queries)
     hot_bigrams: bool = True        # index adjacent hot-term pairs (phrase sidecar)
+    # Size of the bigram-sidecar EXTRACTION set: the top-K terms by
+    # COLLECTION frequency. Sidecar volume grows with the covered
+    # terms' combined token mass SQUARED (every adjacent covered-pair
+    # occurrence becomes a posting), and token mass concentrates in the
+    # head, so K must stay small: measured at 10M turns, covering all
+    # df≥5% terms (94) produced 329M bigram postings — as large as the
+    # unigram index, halving build throughput — and even df≥20% (30
+    # terms) produced 234M. Top-8 covers exactly the head pairs whose
+    # AND-candidate sets are largest (the 6-8.6 s worst-case phrase)
+    # for a few percent of index volume; pipelines preferring uniform
+    # phrase latency over ingest throughput raise it.
+    bigram_top_terms: int = 8
     analyzer_version: int = ANALYZER_VERSION
 
     def as_dict(self) -> dict:
@@ -195,10 +207,13 @@ def _bigram_postings(
     candidate-driven block pruning; it is two HOT terms that cost a
     multi-million-posting position decode at query time).
 
-    Positions record the FIRST token's position, so a phrase
-    (t0..tn) matches doc d at start s iff bigram (t_i,t_{i+1}) has a
-    posting for d at position s+i for every i — the engine's phrase
-    filter then never decodes the hot unigrams' positions.
+    The sidecar is a MEMBERSHIP filter: the engine prunes a phrase's
+    candidate docs by each covered pair's doc list before any position
+    IO (a fully covered len-2 phrase needs no positions at all —
+    membership is adjacency; longer phrases verify with unigram
+    positions over the pruned set). Positions of the first token are
+    computed here for the per-(doc,pair) tf/run-length grouping but
+    are not persisted (with_positions=False at the call site).
 
     MAP-ONLY like _postings: adjacency is doc-local, detected on the
     flattened token stream with one vectorized pass (same-doc mask +
@@ -265,7 +280,14 @@ def _bigram_postings(
                     pa.array(fp.astype(np.int32), type=pa.int32()),
                 )
             else:
-                positions = pa.nulls(starts.size, pa.list_(pa.int32()))
+                # EMPTY lists, not nulls: bigram rows ride the shared
+                # segment encoder, whose positions path consumes the
+                # ListArray buffers unconditionally when the index
+                # stores positions
+                positions = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(starts.size + 1, dtype=np.int32)),
+                    pa.array([], type=pa.int32()),
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(doc_ids[gd], type=pa.int64()),
@@ -585,14 +607,22 @@ def build_index(
     # entering this function, exactly like the tokenized checkpoint.
     if cfg.hot_bigrams and not (resume and man.stage_done("bigrams", chash)):
         t0 = time.time()
-        # bounded driver collect: |hot| ≤ avgdl / hot_df_ratio terms
-        # (Σdf ≤ N·avgdl), i.e. hundreds of strings at any scale
+        # bounded driver collect: exactly bigram_top_terms strings;
+        # (cf desc, term asc) ordering keeps the set deterministic
         hot_terms = sorted(
-            r["term"] for r in dictionary.filter(F.col("is_hot")).select("term").collect()
+            r["term"]
+            for r in dictionary.orderBy(F.desc("cf"), F.asc("term"))
+            .limit(cfg.bigram_top_terms)
+            .select("term")
+            .collect()
         )
         n_big = 0
         if hot_terms:
-            bp = _bigram_postings(_tokenized(), hot_terms, cfg.with_positions)
+            # positions are never stored for bigram rows: the phrase
+            # filter uses them as a membership pre-filter only (a len-2
+            # covered phrase's membership IS adjacency; longer phrases
+            # verify with unigram positions over the pruned candidates)
+            bp = _bigram_postings(_tokenized(), hot_terms, False)
             obs = Observation("bigrams")
             bp = bp.observe(obs, F.count(F.lit(1)).alias("rows"))
             bp.write.mode("overwrite").parquet(big_post_path)
@@ -654,15 +684,25 @@ def build_index(
             .parquet(seg_path)
         )
         seg = spark.read.parquet(seg_path)
+        # lineage splits unigram vs bigram-sidecar rows so n_postings
+        # keeps its stage-3 meaning (unigram postings; the pinned
+        # invariant sum(lineage postings) == n_postings survives the
+        # sidecar riding the same segment files)
+        is_bigram = F.col("term").contains(BIGRAM_SEP)
         lineage_rows = (
             seg.groupBy("shard", "bucket")
-            .agg(F.count("*").alias("blocks"), F.sum("n").alias("postings"))
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum(F.when(~is_bigram, F.col("n")).otherwise(F.lit(0))).alias("postings"),
+                F.sum(F.when(is_bigram, F.col("n")).otherwise(F.lit(0))).alias("bigram_postings"),
+            )
             .collect()
         )
         lineage = {
             f"shard={r['shard']}/bucket={r['bucket']}": {
                 "blocks": int(r["blocks"]),
                 "postings": int(r["postings"]),
+                "bigram_postings": int(r["bigram_postings"]),
             }
             for r in lineage_rows
         }

@@ -98,7 +98,18 @@ class Manifest:
 
     def _flush(self) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
+        # monotonic generation: every manifest write bumps it, so cache
+        # invalidation (engine reader memo, API hit/aggregation caches)
+        # never depends on filesystem timestamp granularity — a mutation
+        # within one mtime tick still changes the key (the Iceberg
+        # snapshot-id analog). Mirrored to a few-byte sidecar file so
+        # readers get it without parsing the (lineage-bearing) manifest.
+        self.data["generation"] = int(self.data.get("generation", 0)) + 1
         tmp = self.path + f".tmp.{os.getpid()}.{int(time.time() * 1e6)}"
         with open(tmp, "w") as f:
             json.dump(self.data, f, indent=1, default=str)
         os.replace(tmp, self.path)  # atomic commit (Iceberg-snapshot analog)
+        gen_tmp = tmp + ".gen"
+        with open(gen_tmp, "w") as f:
+            f.write(str(self.data["generation"]))
+        os.replace(gen_tmp, os.path.join(self.index_dir, "generation"))

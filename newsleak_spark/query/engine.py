@@ -269,19 +269,28 @@ def _make_shard_scorer(
     a bigram term is set when the adjacent pair (tokens[i],
     tokens[i+1]) is covered by the index's hot-pair sidecar. Covered
     pairs prune candidates by cheap doc-membership BEFORE any
-    position decode; a FULLY covered phrase never decodes unigram
-    positions at all (len-2: membership IS adjacency; len≥3: the
-    sidecar's own — far rarer — positions verify alignment). None →
-    every pair uncovered (pure unigram verification, the pre-sidecar
-    behavior).
+    position decode (the sidecar stores doc lists only, no
+    positions); a fully covered len-2 phrase never decodes positions
+    at all — membership IS adjacency. Longer phrases verify with
+    unigram positions decoded AFTER the membership pruning, so only
+    the surviving (typically tiny) candidate set pays position IO.
+    None → every pair uncovered (pure unigram verification, the
+    pre-sidecar behavior).
     """
     required = [m for m in metas if m.required]
     if phrase_plans is None:
         phrase_plans = tuple(
             (p, tuple((i, None) for i in range(len(p) - 1)), False) for p in phrases
         )
-    # unigram positions are decoded only for phrases NOT fully covered
-    phrase_terms = {t for toks, _pairs, fully in phrase_plans if not fully for t in toks}
+    # unigram positions are skipped only for fully covered len-2
+    # phrases (membership == adjacency); every other phrase verifies
+    # with unigram positions over the membership-pruned candidates
+    phrase_terms = {
+        t
+        for toks, _pairs, fully in phrase_plans
+        if not (fully and len(toks) == 2)
+        for t in toks
+    }
     bigram_terms = {bt for _toks, pairs, _f in phrase_plans for _i, bt in pairs if bt}
     idf = {m.term: m.idf for m in metas}
     req_order = sorted(required, key=lambda m: (m.df, m.term))  # rarest first
@@ -450,10 +459,9 @@ def _make_shard_scorer(
         positions). A covered pair with no postings in this shard
         means no adjacency in any of this shard's docs → empty.
         Pass 2 — position verification on the reduced cand: fully
-        covered len-2 phrases are already exact; fully covered len≥3
-        phrases intersect the SIDECAR's position keys; partially
-        covered phrases verify with unigram positions (decoded late,
-        only surviving candidate blocks pay IO)."""
+        covered len-2 phrases are already exact; every other phrase
+        verifies with unigram positions (decoded late, AFTER the
+        membership pruning — only surviving candidate blocks pay IO)."""
         for _toks, pairs, _fully in phrase_plans:
             for _off, bt in pairs:
                 if bt is None:
@@ -477,15 +485,9 @@ def _make_shard_scorer(
         for toks, pairs, fully in phrase_plans:
             if fully and len(toks) == 2:
                 continue  # the single bigram's membership IS adjacency
-            if fully:
-                key_seq = [
-                    (off, _positions_for(bg, cand, [bt])[bt]) for off, bt in pairs
-                ]
-            else:
-                key_seq = [(off, positions[t]) for off, t in enumerate(toks)]
             inter = None
-            for off, pos_pair in key_seq:
-                keys = _phrase_keys(pos_pair, off)
+            for off, t in enumerate(toks):
+                keys = _phrase_keys(positions[t], off)
                 inter = keys if inter is None else np.intersect1d(
                     inter, keys, assume_unique=True
                 )
@@ -717,14 +719,25 @@ def _make_shard_scorer(
 _READER_CACHE: dict = {}
 
 
-def index_state_key(index_dir: str) -> tuple[float, float]:
-    """(manifest mtime, deltas mtime) — changes whenever the index
-    mutates (rebuild, append_index, compaction registration). Shared
-    invalidation key for the reader cache here and the API hit cache
-    (api.NewsleakAPI folds it into its key so cached collected top-k
-    rows never outlive the index state that produced them)."""
+def index_state_key(index_dir: str) -> tuple:
+    """(manifest generation, manifest mtime, deltas mtime) — changes
+    whenever the index mutates (rebuild, append_index, compaction
+    registration). Shared invalidation key for the reader cache here
+    and the API hit/aggregation caches (api.NewsleakAPI folds it into
+    its keys so cached collected rows never outlive the index state
+    that produced them). The generation counter (bumped on every
+    manifest write) makes invalidation independent of filesystem
+    timestamp granularity; mtimes stay in the key for pre-generation
+    indexes and for deltas.json registration."""
     import os
 
+    # the generation sidecar is a few bytes — reading its CONTENT per
+    # call is as cheap as a stat and never depends on timestamps
+    try:
+        with open(os.path.join(index_dir, "generation")) as f:
+            gen = int(f.read().strip() or 0)
+    except (OSError, ValueError):
+        gen = 0
     try:
         mtime = os.path.getmtime(os.path.join(index_dir, "manifest.json"))
     except OSError:
@@ -733,7 +746,7 @@ def index_state_key(index_dir: str) -> tuple[float, float]:
         dmtime = os.path.getmtime(os.path.join(index_dir, "deltas.json"))
     except OSError:
         dmtime = 0.0
-    return (mtime, dmtime)
+    return (gen, mtime, dmtime)
 
 
 def _cached_reader(spark: SparkSession, index_dir: str) -> IndexReader:

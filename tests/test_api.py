@@ -283,3 +283,22 @@ def test_bad_query_returns_400(api):
         api.induce_subgraph('-"foo bar"'),
     ):
         assert out["status"] == 400 and "negated quoted phrase" in out["error"]
+
+
+def test_generation_counter_invalidates_without_mtime(tmp_path):
+    """Index-state invalidation is timestamp-independent: two manifest
+    writes landing on the SAME mtime (sub-granularity mutation) still
+    change index_state_key via the monotonic generation counter."""
+    import os
+
+    from newsleak_spark.indexing.manifest import Manifest
+    from newsleak_spark.query.engine import index_state_key
+
+    d = str(tmp_path)
+    Manifest(d).set_stats(a=1)
+    k1 = index_state_key(d)
+    st = os.stat(os.path.join(d, "manifest.json"))
+    Manifest(d).set_stats(a=2)
+    os.utime(os.path.join(d, "manifest.json"), ns=(st.st_atime_ns, st.st_mtime_ns))
+    k2 = index_state_key(d)
+    assert k1 != k2

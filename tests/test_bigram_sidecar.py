@@ -49,21 +49,19 @@ def cover(spark, index_dir):
 
 def test_extraction_matches_python_adjacency(spark, index_dir, doc_tokens, cover):
     """Sidecar postings == brute adjacency scan: per (doc, hot-pair),
-    tf = number of adjacent occurrences, positions = first-token
-    offsets."""
-    assert cover, "fixture must yield hot terms at hot_df_ratio=0.3"
-    want: dict[tuple[int, str], list[int]] = {}
+    tf = number of adjacent occurrences. Positions are deliberately
+    NOT persisted (the sidecar is a membership filter)."""
+    assert cover, "fixture must yield covered terms at bigram_df_ratio"
+    want: dict[tuple[int, str], int] = {}
     for doc, toks in doc_tokens.items():
         for i in range(len(toks) - 1):
             if toks[i] in cover and toks[i + 1] in cover:
                 key = (doc, toks[i] + BIGRAM_SEP + toks[i + 1])
-                want.setdefault(key, []).append(i)
-    got = {
-        (r["doc_id"], r["term"]): sorted(r["positions"])
-        for r in spark.read.parquet(f"{index_dir}/bigram_postings").collect()
-    }
-    assert {k: len(v) for k, v in got.items()} == {k: len(v) for k, v in want.items()}
-    assert got == {k: sorted(v) for k, v in want.items()}
+                want[key] = want.get(key, 0) + 1
+    rows = spark.read.parquet(f"{index_dir}/bigram_postings").collect()
+    got = {(r["doc_id"], r["term"]): r["tf"] for r in rows}
+    assert got == want
+    assert all(len(r["positions"]) == 0 for r in rows)
 
 
 def _adjacent_runs(doc_tokens, cover, length, want_covered):

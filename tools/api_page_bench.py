@@ -55,14 +55,27 @@ def main() -> None:
         lat[label] = round(time.time() - t0, 3)
         assert r["docs"], label
         assert all("<em>" in d["highlighted"] for d in r["docs"]), label
+
+    # repeat-aggregation latency: first call runs the job, the repeat
+    # is served from the (request, index state) result cache
+    for label, call in (
+        ("aggregate_first", lambda: api.aggregate("role", query="w5 w17")),
+        ("aggregate_repeat", lambda: api.aggregate("role", query="w5 w17")),
+        ("timeline_first", lambda: api.get_timeline("w5 w17", lod="year")),
+        ("timeline_repeat", lambda: api.get_timeline("w5 w17", lod="year")),
+    ):
+        t0 = time.time()
+        call()
+        lat[label] = round(time.time() - t0, 3)
     print(json.dumps({
         "n_turns": n_turns,
         "page_size": 50,
         "latency_sec": lat,
-        # expected 3: page1 (one ranked scan), page2 (deeper k=100
-        # re-run), hot_page1 (new query); page1_no_total reuses page1's
-        # cached hits
+        # expected 2: page1's ONE heap scan answers page1_no_total AND
+        # page2_cached (merged per-shard heaps, exactness bound);
+        # hot_page1 is a new query
         "topk_runs": api.topk_runs,
+        "agg_runs": api.agg_runs,  # expected 2: each repeat is a cache hit
     }))
 
 

@@ -28,7 +28,13 @@ QUERIES = {
     "hot_spark": QuerySpec(terms=("spark",), k=20),
     "and_w5_w17": QuerySpec(terms=("w5", "w17"), k=20),
     "phrase_selective": QuerySpec(phrases=(("w207", "w1033"),), k=20),
+    # two top-Zipf terms: COVERED by the top-8-by-cf bigram sidecar
+    # (membership pruning, no position decode)
     "phrase_worstcase": QuerySpec(phrases=(("w2", "w4"),), k=20),
+    # two hot-but-below-top-8 terms (df≈0.58/0.54): UNCOVERED — the
+    # honest residual cost of the bounded sidecar (unigram positions
+    # over a ~3M-candidate AND)
+    "phrase_hot_uncovered": QuerySpec(phrases=(("w9", "w10"),), k=20),
     "union_bmw": QuerySpec(terms=(), boost_terms=("w3", "w9", "w27"), k=20),
     "filtered_w3_role": QuerySpec(terms=("w3",), role_filter=("user",), k=20),
 }
@@ -64,7 +70,10 @@ def main() -> None:
         search(spark, idx, spec).collect()
         lat[name] = round(time.time() - t0, 2)
     out["query_warm_sec"] = lat
-    shutil.rmtree(idx, ignore_errors=True)
+    # KEEP_INDEX=1 leaves the built index for tools/api_page_bench.py
+    # (it resumes from /tmp/newsleak_demo_{n} instead of rebuilding)
+    if os.environ.get("KEEP_INDEX") != "1":
+        shutil.rmtree(idx, ignore_errors=True)
     print(json.dumps(out))
 
 

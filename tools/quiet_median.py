@@ -1,0 +1,76 @@
+"""Blind symmetric-quiet scaling summary (BASELINE.md, round 3).
+
+Applies ONE mechanical rule to every run in tools/scaling_history.jsonl:
+a run is QUIET iff BOTH legs' build walls are within QUIET_FACTOR (1.25x)
+of their respective best-ever walls across the whole history. No
+outcome (efficiency) ever enters the qualification test — the rule was
+pre-registered in round 3 precisely to correct the builder's own
+selection bias, and this script keeps its application reproducible as
+the history grows. Prints the qualifying samples and their median.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+QUIET_FACTOR = 1.25
+HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_history.jsonl")
+
+
+def summarize(n_turns: int = 800_000, executor_cores: int = 2) -> dict:
+    """Per-series: only runs of the same (n_turns, executor_cores)
+    configuration compare (legacy entries predate the field = 2)."""
+    with open(HISTORY) as f:
+        runs = [json.loads(l) for l in f if l.strip()]
+    runs = [
+        r
+        for r in runs
+        if r.get("n_turns") == n_turns
+        and int(r.get("executor_cores", 2)) == executor_cores
+    ]
+    if not runs:
+        return {"n_runs": 0, "n_quiet": 0, "median_quiet_eff": None}
+    best_n = min(r["n_executors"]["build_sec"] for r in runs)
+    best_4n = min(r["4n_executors"]["build_sec"] for r in runs)
+    quiet = [
+        r
+        for r in runs
+        if r["n_executors"]["build_sec"] <= QUIET_FACTOR * best_n
+        and r["4n_executors"]["build_sec"] <= QUIET_FACTOR * best_4n
+    ]
+    effs = sorted(r["efficiency"] for r in quiet)
+    mid = len(effs) // 2
+    median = (
+        None
+        if not effs
+        else (effs[mid] if len(effs) % 2 else round((effs[mid - 1] + effs[mid]) / 2.0, 4))
+    )
+    return {
+        "n_runs": len(runs),
+        "best_walls": {"n": best_n, "4n": best_4n},
+        "quiet_thresholds": {
+            "n": round(QUIET_FACTOR * best_n, 2),
+            "4n": round(QUIET_FACTOR * best_4n, 2),
+        },
+        "n_quiet": len(quiet),
+        "quiet_samples": [
+            {
+                "at": r["measured_at"],
+                "eff": r["efficiency"],
+                "n_wall": r["n_executors"]["build_sec"],
+                "4n_wall": r["4n_executors"]["build_sec"],
+            }
+            for r in sorted(quiet, key=lambda r: r["measured_at"])
+        ],
+        "quiet_effs": effs,
+        "median_quiet_eff": median,
+        "n_quiet_ge_0_8": sum(1 for e in effs if e >= 0.8),
+    }
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
+    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    print(json.dumps(summarize(n, cores), indent=1))
