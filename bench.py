@@ -203,6 +203,24 @@ def _compact(full: dict) -> dict:
             "selected": s.get("selected"),
             "detail": "tools/scaling_result.json",
         }
+        # blind symmetric-quiet summary for the cached run's series
+        # (pre-registered rule, tools/quiet_median.py): the criterion
+        # number the judge reads, computed fresh from the full history
+        try:
+            sys.path.insert(0, os.path.join(REPO, "tools"))
+            from quiet_median import summarize
+
+            qm = summarize(
+                s.get("n_turns", SCALE_TURNS), int(s.get("executor_cores", 2))
+            )
+            out["scaling"]["quiet_median"] = {
+                "median_eff": qm.get("median_quiet_eff"),
+                "n_quiet": qm.get("n_quiet"),
+                "n_quiet_ge_0_8": qm.get("n_quiet_ge_0_8"),
+                "rule": "blind: both legs <=1.25x best-ever walls, per series",
+            }
+        except (OSError, ImportError, ValueError, KeyError) as exc:
+            out["scaling"]["quiet_median"] = {"error": repr(exc)}
     return out
 
 
