@@ -46,22 +46,20 @@ _TOKS = (
 )
 
 # The driver's correctness gate records the FIRST 50 queries() entries
-# (insertion order); 91 are registered now. This priority list packs
-# the window: every engine row, one brute representative per query
-# shape, and every op new or changed this round. Round-4 rotation
-# (VERDICT r3 item 3): the three never-driver-verified entries
-# (f1_bm25_not_only, fingerprint, mm_frame_sample) plus lang_id and
-# the new sidecar-path row e1_engine_phrase_hot enter the window;
-# five stable multi-round-green siblings leave it (f1_bm25_and — its
-# engine twin e1_engine_and stays; f6_timex_range — f6_timex_tagged
-# stays; dedup_simhash; ev_json_props; dedup_ngram_jaccard — four
-# dedup-family siblings stay). Entries not listed follow in
-# registration order;
-# each is driver-green from an earlier round and unchanged, and
-# tools/check_oracle.py covers ALL entries locally at sf0.01 and sf0.1.
+# (insertion order); the registry is larger (every entry is swept
+# locally by tools/check_oracle.py at sf0.01 and sf0.1). This priority
+# list packs the window: every engine row, one brute representative
+# per query shape, and every op new or changed this round. Round-5
+# rotation (VERDICT r4 item 4): f1_bm25_phrase_hot — the last
+# never-driver-verified entry, the brute twin of the driver-green
+# e1_engine_phrase_hot — enters the window; ngram_counts (driver-green
+# r2+r3+r4, with decontaminate/redact_terms/domain_mix/
+# stratified_sample siblings staying in-window) leaves it. Entries not
+# listed follow in registration order; each is driver-green from an
+# earlier round and unchanged.
 _GATE_PRIORITY = [
     "e1_engine_single", "e1_engine_and", "e1_engine_phrase",
-    "e1_engine_phrase_hot",
+    "e1_engine_phrase_hot", "f1_bm25_phrase_hot",
     "e1_engine_filtered", "e1_engine_boost", "e1_engine_union",
     "e1_engine_not", "e1_engine_not_only", "e1_engine_union_not",
     "e1_engine_english",
@@ -80,7 +78,7 @@ _GATE_PRIORITY = [
     "mm_metadata", "mm_decode_features", "mm_frame_sample",
     "ev_window_agg", "ev_sessionize",
     "decontaminate", "redact_terms", "domain_mix",
-    "stratified_sample", "ngram_counts",
+    "stratified_sample",
     "s2_es_source", "s7_metadata_csv",
     "ev_asof_join",
 ]

@@ -275,7 +275,9 @@ class NewsleakAPI:
         from dataclasses import replace
 
         return self._agg_cached(
-            ("subgraph", replace(spec, k=0).cache_key(), n_nodes, min_edge), compute
+            ("subgraph", replace(spec, k=0).cache_key(), n_nodes, min_edge),
+            compute,
+            spec,
         )
 
     # -- GET /getTimeline ---------------------------------------------------
@@ -301,7 +303,7 @@ class NewsleakAPI:
         from dataclasses import replace
 
         return self._agg_cached(
-            ("timeline", replace(spec, k=0).cache_key(), lod), compute
+            ("timeline", replace(spec, k=0).cache_key(), lod), compute, spec
         )
 
     # -- GET /getAggregate ---------------------------------------------------
@@ -338,6 +340,7 @@ class NewsleakAPI:
                 tuple(include or ()), tuple(exclude or ()),
             ),
             compute,
+            spec,
         )
 
     # -- internals ----------------------------------------------------------
@@ -385,12 +388,17 @@ class NewsleakAPI:
         self._hit_cache[key] = (rows, safe_rank)
         return rows[: spec.k]
 
-    def _agg_cached(self, key: tuple, compute):
+    def _agg_cached(self, key: tuple, compute, spec: QuerySpec):
         """Aggregation result memo (facet/timeline/network): bounded
-        FIFO keyed on (request, index state); brute path (no index)
-        computes uncached — its input DataFrame has no invalidation
-        signal."""
-        if self.index_dir is None:
+        FIFO keyed on (request, index state). Only specs that actually
+        take the indexed path in _matching (scored/boost terms) are
+        cached: a match_all / filters-only spec computes from
+        self.transcripts via brute matching_docs, which carries no
+        invalidation signal — the index-state key would not notice a
+        transcripts-source change, serving stale results."""
+        if self.index_dir is None or not (
+            spec.all_scored_terms() or spec.boost_terms
+        ):
             self.agg_runs += 1
             return compute()
         full_key = (key, index_state_key(self.index_dir))

@@ -45,6 +45,7 @@ drop-and-recreate (Postgres2ElasticsearchIndexer.java:82,368-372).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import asdict, dataclass
 
@@ -199,7 +200,9 @@ def _postings(tokenized: DataFrame, with_positions: bool) -> DataFrame:
 def _bigram_postings(
     tokenized: DataFrame, hot_terms: list[str], with_positions: bool
 ) -> DataFrame:
-    """Hot-pair bigram sidecar postings: one row per (doc, "a\\x00b")
+    """Hot-pair bigram sidecar postings: one row per (doc, pair key)
+    — the pair key joins the two tokens with BIGRAM_SEP (\\x1f; see
+    the comment at its definition for why NUL cannot be used) —
     for every ADJACENT token pair where both tokens are hot terms —
     the "nextword index" of Williams, Zobel & Bahle, "Fast Phrase
     Querying with Combined Indexes" (ACM TOIS 2004), restricted to
@@ -489,6 +492,23 @@ def build_index(
     big_post_path = os.path.join(index_dir, "bigram_postings")
     big_dict_path = os.path.join(index_dir, "bigram_dictionary")
     seg_path = os.path.join(index_dir, "segments")
+
+    # A prior build of this dir may have left a sidecar behind. If this
+    # build won't (re)produce one — hot_bigrams off, or a full rebuild
+    # whose stage 4b only overwrites big_post_path when it finds pairs —
+    # stale stats.bigram_terms would make the reader treat pairs as
+    # COVERED while the rebuilt segments carry no sidecar postings:
+    # silent false negatives on phrase queries. Reset the manifest
+    # coverage signal and remove the on-disk leftovers up front; stage
+    # 4b re-sets both when it actually runs.
+    if not cfg.hot_bigrams or not resume:
+        if man.stats.get("bigram_terms") or int(
+            man.stats.get("n_bigram_postings") or 0
+        ):
+            man.set_stats(n_bigram_postings=0, bigram_terms=None)
+        for stale in (big_post_path, big_dict_path):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
 
     # ---- stage 1: tokenized checkpoint (the temp-index analog, S4) -------
     if not (resume and man.stage_done("tokenized", chash)):
@@ -949,8 +969,6 @@ def compact_index(
     # compacted dir (same source checkpoint) must keep skipping batches
     # whose rows are already folded in, or the replay would duplicate
     # them as fresh deltas
-    import shutil
-
     from newsleak_spark.streaming import BATCH_LEDGER  # lazy: avoids cycle
 
     ledger = os.path.join(index_dir, BATCH_LEDGER)

@@ -271,6 +271,15 @@ def test_aggregation_result_cache(spark, transcripts, index_dir):
     assert api.agg_runs == 3
     api.aggregate("role", query="merge", size=5)  # different spec -> job
     assert api.agg_runs == 4
+    # match_all / filters-only specs take the brute path in _matching
+    # (computed from self.transcripts, which carries no invalidation
+    # signal) — they must recompute every time even with an index
+    # attached, or a transcripts-source change that doesn't touch the
+    # index would serve stale aggregations
+    api.aggregate("role", query="", size=5)
+    assert api.agg_runs == 5
+    api.aggregate("role", query="", size=5)
+    assert api.agg_runs == 6  # no cache for brute-path specs
 
 
 def test_bad_query_returns_400(api):

@@ -10,6 +10,7 @@ ESRequestUtils.scala:295-312 — the sidecar must be invisible to
 results, only to position-decode cost.
 """
 
+import datetime as dt
 import shutil
 from collections import Counter
 
@@ -23,6 +24,62 @@ from newsleak_spark.query import QuerySpec, bm25_topk
 from newsleak_spark.query.engine import IndexReader, search
 
 CFG = IndexConfig(n_shards=4, n_term_buckets=4, block_size=16, hot_df_ratio=0.3, n_salts=4)
+
+
+# ---------------------------------------------------------------------------
+# Constructed-geometry corpus: sf0.001's Zipf text happens to exercise
+# every sidecar path, but "happens to" is not a guarantee — this corpus
+# is BUILT so that (a) the top-8-by-cf extraction set is exactly the
+# eight named hot terms (cf 20-40 vs <=3 for every cold term), (b)
+# fully- and partially-covered runs of length 2 and 3 all exist, and
+# (c) the covered pair (theta, alpha) is adjacent NOWHERE — theta is
+# always followed by a cold token or end-of-text — so the
+# dictionary-only no-hits short circuit always has a target. No
+# geometry-dependent skips.
+# ---------------------------------------------------------------------------
+
+_HOT = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+
+def _crafted_rows():
+    texts = []
+    for i in range(10):
+        texts.append(f"alpha beta gamma cold{i} delta theta")
+    for i in range(10, 20):
+        texts.append(f"delta epsilon cold{i} zeta eta alpha")
+    for i in range(20, 30):
+        texts.append(f"eta theta cold{i} beta alpha alpha")
+    for i in range(30, 40):
+        texts.append(f"zeta epsilon gamma delta cold{i} cold{(i * 7) % 40}")
+    return [
+        (
+            i,
+            f"conv_{i % 5}",
+            i // 5,
+            ("user", "assistant", "system", "tool")[i % 4],
+            t,
+            f"tool_{i % 3}" if i % 4 == 3 else None,
+            dt.datetime(2020, 1, 1) + dt.timedelta(hours=i),
+        )
+        for i, t in enumerate(texts)
+    ]
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    return spark.createDataFrame(
+        _crafted_rows(),
+        "doc_id long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def crafted_index(spark, crafted, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bgcraft"))
+    build_index(spark, crafted, d, CFG)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 @pytest.fixture(scope="module")
@@ -83,8 +140,11 @@ def test_phrase_rank_identity(spark, transcripts, index_dir, doc_tokens, cover, 
     incl. len-3 via sidecar positions) and partially-covered (unigram
     position fallback) phrases."""
     runs = _adjacent_runs(doc_tokens, cover, length, covered)
-    if not runs:
-        pytest.skip("fixture has no such run")
+    # sf0.001 is driver-generated and fixed: every run shape exists in
+    # it today; a regression here means the fixture or the analyzer
+    # changed, not flaky geometry (the crafted-corpus tests below
+    # guarantee each shape independently of this data)
+    assert runs, "sf0.001 geometry regressed: no such run"
     for phrase in runs[:3]:
         spec = QuerySpec(phrases=(phrase,), k=10)
         got = [(r.doc_id, r.score_e6) for r in search(spark, index_dir, spec).collect()]
@@ -92,22 +152,79 @@ def test_phrase_rank_identity(spark, transcripts, index_dir, doc_tokens, cover, 
         assert got == want, f"phrase {phrase}: {got} vs {want}"
 
 
-def test_covered_absent_pair_short_circuits(spark, transcripts, index_dir, doc_tokens, cover):
+def test_crafted_cover_is_exactly_the_hot_terms(spark, crafted_index):
+    """The extraction set is the top-8 terms by (cf desc, term asc):
+    the corpus pins cf(hot) in 20..40 vs <=3 for cold fillers, so the
+    cover must be exactly the eight named hot terms."""
+    assert IndexReader(spark, crafted_index).bigram_cover == frozenset(_HOT)
+
+
+def test_covered_absent_pair_short_circuits(spark, crafted, crafted_index):
     """A covered pair with NO adjacency anywhere is answered from the
-    dictionary alone (no hits) — and the brute oracle agrees."""
+    dictionary alone (no hits) — and the brute oracle agrees. The
+    corpus is constructed so (theta, alpha) is such a pair: assert the
+    construction, then the short circuit."""
     seen = set()
-    for toks in doc_tokens.values():
+    for r in crafted.select("text").collect():
+        toks = r["text"].split()
         seen.update(zip(toks, toks[1:]))
-    hot = sorted(cover)
-    pair = next(
-        ((a, b) for a in hot for b in hot if (a, b) not in seen),
-        None,
-    )
-    if pair is None:
-        pytest.skip("every hot pair is adjacent somewhere in the fixture")
+    pair = ("theta", "alpha")
+    assert pair not in seen, "corpus construction broken: pair is adjacent"
     spec = QuerySpec(phrases=(pair,), k=10)
-    assert search(spark, index_dir, spec).count() == 0
-    assert bm25_topk(transcripts, spec).count() == 0
+    assert search(spark, crafted_index, spec).count() == 0
+    assert bm25_topk(crafted, spec).count() == 0
+
+
+@pytest.mark.parametrize(
+    "phrase,covered",
+    [
+        (("alpha", "beta"), True),            # fully covered len-2
+        (("alpha", "beta", "gamma"), True),    # fully covered len-3
+        (("gamma", "cold3"), False),           # mixed len-2 (hot, cold)
+        (("gamma", "cold7", "delta"), False),  # mixed len-3
+        (("alpha", "alpha"), True),            # covered self-pair, tf>1 docs
+    ],
+)
+def test_crafted_phrase_rank_identity(spark, crafted, crafted_index, phrase, covered):
+    """Engine == brute on the constructed corpus for every sidecar
+    path; each phrase is guaranteed by construction to have hits."""
+    cover = IndexReader(spark, crafted_index).bigram_cover
+    assert all(t in cover for t in phrase if not t.startswith("cold"))
+    assert covered == all(t in cover for t in phrase)
+    spec = QuerySpec(phrases=(phrase,), k=15)
+    got = [(r.doc_id, r.score_e6) for r in search(spark, crafted_index, spec).collect()]
+    want = [(r.doc_id, r.score_e6) for r in bm25_topk(crafted, spec).collect()]
+    assert got and got == want
+
+
+def test_rebuild_without_sidecar_clears_stale_coverage(spark, crafted, tmp_path):
+    """Regression (ADVICE r4, medium): rebuilding an existing index dir
+    with hot_bigrams=False and resume=False — the flow the
+    config-mismatch ValueError directs users to — used to leave stale
+    stats.bigram_terms in the manifest and a stale sidecar on disk;
+    the reader then planned covered pairs against segments with no
+    sidecar postings and phrase queries silently returned 0 hits."""
+    import os
+
+    from newsleak_spark.indexing.manifest import Manifest
+
+    d = str(tmp_path / "rebuilt")
+    build_index(spark, crafted, d, CFG)
+    assert IndexReader(spark, d).bigram_cover  # sidecar present
+
+    cfg_off = IndexConfig(**{**CFG.as_dict(), "hot_bigrams": False})
+    build_index(spark, crafted, d, cfg_off, resume=False)
+    man = Manifest(d)
+    assert not man.stats.get("bigram_terms")
+    assert int(man.stats.get("n_bigram_postings") or 0) == 0
+    assert not os.path.exists(os.path.join(d, "bigram_postings"))
+    assert not os.path.exists(os.path.join(d, "bigram_dictionary"))
+    rd = IndexReader(spark, d)
+    assert rd.bigram_cover == frozenset()
+    spec = QuerySpec(phrases=(("alpha", "beta"),), k=15)
+    got = [(r.doc_id, r.score_e6) for r in search(spark, d, spec).collect()]
+    want = [(r.doc_id, r.score_e6) for r in bm25_topk(crafted, spec).collect()]
+    assert got and got == want
 
 
 def test_no_sidecar_fallback(spark, transcripts, tmp_path):
