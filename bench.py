@@ -221,6 +221,19 @@ def _compact(full: dict) -> dict:
             }
         except (OSError, ImportError, ValueError, KeyError) as exc:
             out["scaling"]["quiet_median"] = {"error": repr(exc)}
+        # read-path scaling at a scan-dominated size (VERDICT r4 item
+        # 1): the 10M-index 22-query batch series, quiet-rule median —
+        # supersedes the Amdahl-limited 4-query `query_efficiency`
+        ql = s.get("query_leg_scan_dominated")
+        if ql:
+            out["scaling"]["query_leg_10m"] = {
+                "efficiency": ql.get("best_by_vs_ceiling", {}).get("efficiency"),
+                "efficiency_vs_hw_ceiling": ql.get("best_by_vs_ceiling", {}).get(
+                    "efficiency_vs_hw_ceiling"
+                ),
+                "quiet_median_eff": ql.get("quiet_median", {}).get("median_eff"),
+                "n_runs": ql.get("n_runs"),
+            }
     return out
 
 
@@ -434,6 +447,7 @@ def reselect_scaling_cache(n_turns: int, fallback: dict | None = None) -> dict:
         for r in runs
         if r.get("n_turns") == n_turns
         and int(r.get("executor_cores", 2)) == SCALE_CORES
+        and r.get("kind", "strong_scaling_same_input") == "strong_scaling_same_input"
     ] or ([fallback] if fallback else runs)
     # validity: strong-scaling efficiency CANNOT genuinely exceed 1 —
     # a run above ~1.05 means the N=1 baseline leg caught host
@@ -487,9 +501,61 @@ def reselect_scaling_cache(n_turns: int, fallback: dict | None = None) -> dict:
         "median_raw_efficiency": round(median_raw, 3),
         "n_runs": len(runs),
     }
+    best["query_leg_scan_dominated"] = _query_leg_summary()
     with open(SCALING_CACHE, "w") as f:
         json.dump(best, f, indent=1)
     return best
+
+
+def _query_leg_summary() -> dict | None:
+    """Read-path scaling evidence at a scan-dominated size
+    (tools/query_scaling.py: 22 distinct warm queries per leg against
+    ONE pre-built 10M-turn index, 1-core executors at N=1 vs 4N=4).
+    Summarized from the history with the same blind symmetric-quiet
+    rule as the build series (walls = query-batch seconds). Replaces
+    the Amdahl-limited per-round 4-query number as the read path's
+    N→4N evidence (VERDICT r4 item 1)."""
+    try:
+        with open(SCALING_HISTORY) as f:
+            runs = [json.loads(l) for l in f if l.strip()]
+    except OSError:
+        return None
+    runs = [r for r in runs if r.get("kind") == "query_scaling_same_index"]
+    if not runs:
+        return None
+    best = max(runs, key=lambda r: r.get("efficiency_vs_hw_ceiling", 0.0))
+    out = {
+        "n_runs": len(runs),
+        "n_queries": best.get("n_queries"),
+        "index_turns": best.get("n_turns"),
+        "best_by_vs_ceiling": {
+            "efficiency": best.get("efficiency"),
+            "efficiency_vs_hw_ceiling": best.get("efficiency_vs_hw_ceiling"),
+            "n_batch_sec": best.get("n_executors", {}).get("batch_sec"),
+            "4n_batch_sec": best.get("4n_executors", {}).get("batch_sec"),
+            "measured_at": best.get("measured_at"),
+        },
+        "proxy": best.get("proxy"),
+        "detail": "tools/query_scaling.py; history kind=query_scaling_same_index",
+    }
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from quiet_median import summarize
+
+        qm = summarize(
+            best.get("n_turns", 10_000_000),
+            int(best.get("executor_cores", 1)),
+            kind="query_scaling_same_index",
+        )
+        out["quiet_median"] = {
+            "median_eff": qm.get("median_quiet_eff"),
+            "n_quiet": qm.get("n_quiet"),
+            "n_quiet_ge_0_8": qm.get("n_quiet_ge_0_8"),
+            "rule": "blind: both legs <=1.25x best-ever batch walls, per series",
+        }
+    except (OSError, ImportError, ValueError, KeyError) as exc:
+        out["quiet_median"] = {"error": repr(exc)}
+    return out
 
 
 def main() -> None:

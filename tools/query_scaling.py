@@ -1,0 +1,213 @@
+"""Read-path (query-leg) N→4N strong scaling at a scan-dominated size.
+
+VERDICT r4 item 1: the per-round `bench.py --scaling` query leg (4
+queries on an 800k index) is Amdahl-limited — ~0.5 s/query fixed
+driver/plan overhead against a 3.7–5.6 s batch — so its recorded
+0.33–0.45 "query efficiency" measures overhead amortization, not the
+read path. This tool measures the read path where the scan dominates:
+a batch of 22 DISTINCT warm queries against ONE pre-built 10M-turn
+index (build it with `KEEP_INDEX=1 python tools/demo_10m.py`), run by
+N=1 vs 4N=4 separate 1-core executor JVMs (the same process demand as
+the 1-core build series: 2 vs 8 host processes, inside this VM's
+measured deliverable cores — tools/cpu_calibration.py).
+
+The index is READ-ONLY and shared by both legs — query scaling is a
+property of the read path, so the job is query-only (the reference
+analog is the scatter/gather of SearchHitIterator.scala:43-58 across
+index shards). Each leg warms up untimed (JIT, python-worker fork,
+page cache — one-time costs a long-lived serving cluster amortizes),
+then times the full batch once.
+
+Every run appends to tools/scaling_history.jsonl with
+kind="query_scaling_same_index"; the blind symmetric-quiet rule
+(tools/quiet_median.py --kind query) applies to batch walls exactly as
+it does to build walls in the build series. bench.py folds the series
+summary into tools/scaling_result.json next to the build leg.
+
+Usage:
+  python tools/query_scaling.py [index_dir]          # one full sample
+  python tools/query_scaling.py --child N index_dir  # (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+HISTORY = os.path.join(REPO, "tools", "scaling_history.jsonl")
+DEFAULT_INDEX = "/tmp/newsleak_demo_10000000"
+KIND = "query_scaling_same_index"
+N_TURNS = 10_000_000  # series key (index size), not a build input
+
+
+def _specs():
+    from newsleak_spark.query import QuerySpec
+
+    return [
+        # singles across the Zipf head and tail
+        QuerySpec(terms=("w3",), k=20),
+        QuerySpec(terms=("w5",), k=20),
+        QuerySpec(terms=("w7",), k=20),
+        QuerySpec(terms=("w9",), k=20),
+        QuerySpec(terms=("w11",), k=20),
+        QuerySpec(terms=("w13",), k=20),
+        QuerySpec(terms=("w17",), k=20),
+        QuerySpec(terms=("w23",), k=20),
+        # hot terms (salted postings; spark is the injected df≈0.4N term)
+        QuerySpec(terms=("spark",), k=20),
+        QuerySpec(terms=("w1",), k=20),
+        # ANDs (intersection + candidate-pruned decode)
+        QuerySpec(terms=("w5", "w17"), k=20),
+        QuerySpec(terms=("w7", "w9"), k=20),
+        QuerySpec(terms=("w11", "w3"), k=20),
+        QuerySpec(terms=("w2", "w13"), k=20),
+        # phrases: sidecar-covered hot pair, uncovered hot pair, selective
+        QuerySpec(phrases=(("w2", "w4"),), k=20),
+        QuerySpec(phrases=(("w9", "w10"),), k=20),
+        QuerySpec(phrases=(("w207", "w1033"),), k=20),
+        # scored unions (block-max WAND)
+        QuerySpec(terms=(), boost_terms=("w3", "w9", "w27"), k=20),
+        QuerySpec(terms=(), boost_terms=("w5", "w11"), k=20),
+        # metadata-filtered (shard-local cogroup with docmeta)
+        QuerySpec(terms=("w3",), role_filter=("user",), k=20),
+        QuerySpec(terms=("w7",), role_filter=("user", "tool"), k=20),
+        # must_not
+        QuerySpec(terms=("w3",), not_terms=("w9",), k=20),
+    ]
+
+
+def _child(n_exec: int, index_dir: str) -> None:
+    from newsleak_spark.query import QuerySpec
+    from newsleak_spark.query.engine import search
+    from newsleak_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"query_scaling_{n_exec}x",
+        executors=n_exec,
+        executor_cores=1,
+        shuffle_partitions=128,
+    )
+    spark.range(1_000).count()
+
+    # untimed warm-up: python-worker fork + JIT + reader init + page
+    # cache for the dictionary point reads (a serving cluster is warm)
+    for s in (QuerySpec(terms=("w41",), k=5), QuerySpec(terms=("w2", "w31"), k=5)):
+        search(spark, index_dir, s).collect()
+
+    specs = _specs()
+    per_query = []
+    t0 = time.time()
+    for s in specs:
+        tq = time.time()
+        search(spark, index_dir, s).collect()
+        per_query.append(round(time.time() - tq, 2))
+    batch_sec = time.time() - t0
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "executors": n_exec,
+                "cores": n_exec,
+                "n_queries": len(specs),
+                "batch_sec": round(batch_sec, 2),
+                "sec_per_query": round(batch_sec / len(specs), 3),
+                "per_query_sec": per_query,
+            }
+        )
+    )
+
+
+def _hw_ceiling() -> dict:
+    """Same-moment pure-CPU ceiling at the pair's true process demand
+    (1-core executor ≈ 2 host processes: JVM task thread + python
+    worker) — identical protocol to bench.py's build series."""
+    import multiprocessing as mp
+
+    from cpu_calibration import burn
+
+    out = {}
+    for p in (2, 8):
+        with mp.Pool(p) as pool:
+            t0 = time.time()
+            pool.map(burn, range(p))
+            out[p] = p / (time.time() - t0)
+    return {
+        "units_per_sec": {str(k): round(v, 3) for k, v in out.items()},
+        "hw_speedup_4x": round(out[8] / out[2], 3),
+        "hw_efficiency_4x": round(out[8] / out[2] / 4.0, 3),
+    }
+
+
+def run(index_dir: str) -> dict:
+    if not os.path.exists(os.path.join(index_dir, "manifest.json")):
+        raise SystemExit(
+            f"no index at {index_dir} — build one first: "
+            "KEEP_INDEX=1 python tools/demo_10m.py"
+        )
+    hw_before = _hw_ceiling()
+    results = {}
+    for n_exec in (1, 4):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(n_exec), index_dir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")), None
+        )
+        if line is None:
+            raise RuntimeError(
+                f"query-scaling child (executors={n_exec}) failed:\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+            )
+        results[n_exec] = json.loads(line[len("CHILD_RESULT ") :])
+    hw_after = _hw_ceiling()
+    hw_speedup = (hw_before["hw_speedup_4x"] + hw_after["hw_speedup_4x"]) / 2.0
+
+    speedup = results[1]["batch_sec"] / results[4]["batch_sec"]
+    out = {
+        "kind": KIND,
+        "executor_cores": 1,
+        "n_turns": N_TURNS,
+        "index_dir": index_dir,
+        "n_queries": results[1]["n_queries"],
+        "proxy": (
+            "local-cluster[1,1,4096] vs local-cluster[4,1,4096] querying the "
+            "SAME pre-built 10M-turn index (read-only): 22 distinct warm "
+            "queries per leg so per-query driver/plan overhead amortizes and "
+            "the segment scan + shard scoring dominate; pair sized within "
+            "the measured host-CPU ceiling (tools/cpu_calibration.py)"
+        ),
+        "hw_ceiling": {
+            "before": hw_before,
+            "after": hw_after,
+            "hw_speedup_4x": round(hw_speedup, 3),
+            "hw_efficiency_4x": round(hw_speedup / 4.0, 3),
+        },
+        "n_executors": results[1],
+        "4n_executors": results[4],
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / 4.0, 3),
+        "efficiency_vs_hw_ceiling": round(speedup / hw_speedup, 3),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(HISTORY, "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--child":
+        _child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else DEFAULT_INDEX)
+    else:
+        run(sys.argv[1] if len(sys.argv) > 1 else DEFAULT_INDEX)

@@ -19,9 +19,18 @@ QUIET_FACTOR = 1.25
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scaling_history.jsonl")
 
 
-def summarize(n_turns: int = 800_000, executor_cores: int = 2) -> dict:
-    """Per-series: only runs of the same (n_turns, executor_cores)
-    configuration compare (legacy entries predate the field = 2)."""
+def summarize(
+    n_turns: int = 800_000,
+    executor_cores: int = 2,
+    kind: str = "strong_scaling_same_input",
+) -> dict:
+    """Per-series: only runs of the same (kind, n_turns, executor_cores)
+    configuration compare (legacy entries predate the fields: kind =
+    strong_scaling_same_input, executor_cores = 2). The build series'
+    leg wall is build_sec; the query series' (query_scaling_same_index)
+    is batch_sec — the same symmetric rule applies to whichever wall
+    the series' job measures."""
+    wall = "batch_sec" if kind == "query_scaling_same_index" else "build_sec"
     with open(HISTORY) as f:
         runs = [json.loads(l) for l in f if l.strip()]
     runs = [
@@ -29,16 +38,17 @@ def summarize(n_turns: int = 800_000, executor_cores: int = 2) -> dict:
         for r in runs
         if r.get("n_turns") == n_turns
         and int(r.get("executor_cores", 2)) == executor_cores
+        and r.get("kind", "strong_scaling_same_input") == kind
     ]
     if not runs:
         return {"n_runs": 0, "n_quiet": 0, "median_quiet_eff": None}
-    best_n = min(r["n_executors"]["build_sec"] for r in runs)
-    best_4n = min(r["4n_executors"]["build_sec"] for r in runs)
+    best_n = min(r["n_executors"][wall] for r in runs)
+    best_4n = min(r["4n_executors"][wall] for r in runs)
     quiet = [
         r
         for r in runs
-        if r["n_executors"]["build_sec"] <= QUIET_FACTOR * best_n
-        and r["4n_executors"]["build_sec"] <= QUIET_FACTOR * best_4n
+        if r["n_executors"][wall] <= QUIET_FACTOR * best_n
+        and r["4n_executors"][wall] <= QUIET_FACTOR * best_4n
     ]
     effs = sorted(r["efficiency"] for r in quiet)
     mid = len(effs) // 2
@@ -59,8 +69,8 @@ def summarize(n_turns: int = 800_000, executor_cores: int = 2) -> dict:
             {
                 "at": r["measured_at"],
                 "eff": r["efficiency"],
-                "n_wall": r["n_executors"]["build_sec"],
-                "4n_wall": r["4n_executors"]["build_sec"],
+                "n_wall": r["n_executors"][wall],
+                "4n_wall": r["4n_executors"][wall],
             }
             for r in sorted(quiet, key=lambda r: r["measured_at"])
         ],
@@ -71,6 +81,12 @@ def summarize(n_turns: int = 800_000, executor_cores: int = 2) -> dict:
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
-    cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    print(json.dumps(summarize(n, cores), indent=1))
+    args = [a for a in sys.argv[1:] if a != "--kind-query"]
+    kind = (
+        "query_scaling_same_index"
+        if "--kind-query" in sys.argv[1:]
+        else "strong_scaling_same_input"
+    )
+    n = int(args[0]) if args else (10_000_000 if kind.startswith("query") else 800_000)
+    cores = int(args[1]) if len(args) > 1 else (1 if kind.startswith("query") else 2)
+    print(json.dumps(summarize(n, cores, kind), indent=1))
