@@ -573,6 +573,7 @@ def _query_leg_summary() -> dict | None:
         "best_by_vs_ceiling": {
             "efficiency": best.get("efficiency"),
             "efficiency_vs_hw_ceiling": best.get("efficiency_vs_hw_ceiling"),
+            "efficiency_vs_membw_ceiling": best.get("efficiency_vs_membw_ceiling"),
             "n_batch_sec": best.get("n_executors", {}).get("batch_sec"),
             "4n_batch_sec": best.get("4n_executors", {}).get("batch_sec"),
             "measured_at": best.get("measured_at"),
@@ -591,6 +592,9 @@ def _query_leg_summary() -> dict | None:
         )
         out["quiet_median"] = {
             "median_eff": qm.get("median_quiet_eff"),
+            "median_eff_vs_membw_ceiling": qm.get(
+                "median_quiet_eff_vs_membw_ceiling"
+            ),
             "n_quiet": qm.get("n_quiet"),
             "n_quiet_ge_0_8": qm.get("n_quiet_ge_0_8"),
             "rule": "blind: both legs <=1.25x best-ever batch walls, per series",

@@ -103,6 +103,8 @@ class IndexReader:
             )
         else:
             self.bigram_cover = frozenset()
+        self._df_cache: dict[str, DataFrame] = {}
+        self._pa_datasets: dict = {}
 
     def dictionary_rows(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (df, cf): a driver-side pyarrow point read of ONLY the
@@ -130,7 +132,13 @@ class IndexReader:
                 path = f"{part}/{sub}"
                 if not os.path.isdir(path):
                     continue  # part built with no (or empty) sidecar
-                dataset = ds.dataset(path, format="parquet", partitioning="hive")
+                dataset = self._pa_datasets.get(path)
+                if dataset is None:
+                    # dataset discovery walks the hive partition tree —
+                    # driver-serial IO worth paying once per reader, not
+                    # once per query (invalidation rides the reader's)
+                    dataset = ds.dataset(path, format="parquet", partitioning="hive")
+                    self._pa_datasets[path] = dataset
                 tbl = dataset.to_table(
                     columns=["term", "df", "cf"],
                     filter=ds.field("bucket").isin(buckets) & ds.field("term").isin(ts),
@@ -143,11 +151,21 @@ class IndexReader:
         return out
 
     def _union_parts(self, sub: str) -> DataFrame:
-        dfs = [self.spark.read.parquet(f"{p}/{sub}") for p in self.parts]
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        # memoized per reader: spark.read.parquet re-lists leaf files and
+        # re-reads footers on every call (a driver-serial job per query
+        # that no executor count can parallelize). The reader is already
+        # invalidated on any index mutation (_cached_reader keys on the
+        # manifest generation), so a cached lazy DataFrame is exactly as
+        # fresh as the reader itself; per-query filters stack on top and
+        # still prune partitions/row groups.
+        df = self._df_cache.get(sub)
+        if df is None:
+            dfs = [self.spark.read.parquet(f"{p}/{sub}") for p in self.parts]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+            self._df_cache[sub] = df
+        return df
 
     def docmeta(self) -> DataFrame:
         return self._union_parts("docmeta")
@@ -189,12 +207,15 @@ def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
     """
     ns = rows["n"].to_numpy(dtype=np.int64)
     block_starts = np.concatenate(([0], np.cumsum(ns)))[:-1]
-    deltas = varint_decode(b"".join(rows["docs"])).astype(np.int64)
+    # .view, not .astype: decoded values are < 2^63 (doc ids / tfs /
+    # dls), so the reinterpret is exact and skips three full-array
+    # copies per term in the bandwidth-bound scoring path
+    deltas = varint_decode(b"".join(rows["docs"])).view(np.int64)
     c = np.cumsum(deltas)
     base = c[block_starts] - deltas[block_starts]
     docs = c - np.repeat(base, ns)
-    tfs = varint_decode(b"".join(rows["tfs"])).astype(np.int64)
-    dls = varint_decode(b"".join(rows["dls"])).astype(np.int64)
+    tfs = varint_decode(b"".join(rows["tfs"])).view(np.int64)
+    dls = varint_decode(b"".join(rows["dls"])).view(np.int64)
     order = np.argsort(docs, kind="stable")  # salted runs interleave
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     if want_positions:

@@ -96,12 +96,17 @@ def _child(n_exec: int, index_dir: str) -> None:
     )
     spark.range(1_000).count()
 
-    # untimed warm-up: python-worker fork + JIT + reader init + page
-    # cache for the dictionary point reads (a serving cluster is warm)
-    for s in (QuerySpec(terms=("w41",), k=5), QuerySpec(terms=("w2", "w31"), k=5)):
+    specs = _specs()
+    # untimed warm-up: ONE FULL PASS of the batch. A serving cluster is
+    # steady-state; here each executor JVM must JIT (C2) the scan /
+    # shuffle / Arrow paths independently, so a 2-query warm-up leaves
+    # the 4-JVM leg colder than the 1-JVM leg (which self-warms across
+    # its serial batch) — measured as a ~15% artifact in the first
+    # logged sample. Warming with the same batch both legs then timing
+    # the second pass measures the steady-state read path, not JVM count.
+    for s in specs:
         search(spark, index_dir, s).collect()
 
-    specs = _specs()
     per_query = []
     t0 = time.time()
     for s in specs:
@@ -145,6 +150,58 @@ def _hw_ceiling() -> dict:
     }
 
 
+def _score_kernel(_i: int) -> float:
+    """One scoring-shard workload built from the ENGINE'S OWN kernel
+    (codec.varint_decode + the _decode_term_blocks/_bm25 array ops):
+    decode 3M postings, cumsum doc deltas, stable-argsort, BM25 float
+    math. Returns seconds for 8 repetitions (data stays ~100 MB so the
+    working set spills past L3 and the measurement is DRAM-bound, like
+    the real scoring stage)."""
+    import numpy as np
+
+    from newsleak_spark.codec import varint_decode, varint_encode
+
+    rng = np.random.default_rng(42)
+    deltas = rng.integers(1, 300, size=3_000_000).astype(np.uint64)
+    buf = varint_encode(deltas)
+    varint_decode(buf)  # warm allocator / page-in
+    t0 = time.time()
+    for _ in range(8):
+        d = varint_decode(buf).view(np.int64)
+        docs = np.cumsum(d)
+        tfs = (d % 7 + 1).astype(np.float64)
+        dls = (d % 50 + 20).astype(np.float64)
+        order = np.argsort(docs, kind="stable")
+        s = 2.2 * (tfs[order] / (tfs[order] + 1.2 * (0.25 + 0.75 * dls[order] / 62.0)))
+        s.sum()
+    return time.time() - t0
+
+
+def _membw_ceiling() -> dict:
+    """Same-moment MEMORY-BANDWIDTH ceiling for the scoring stage: the
+    real decode+score kernel run standalone at P=1 vs P=4 concurrent
+    processes (the python-worker count of the 1N vs 4N legs). The
+    cpu_calibration burn is cache-resident, so it prices CPU contention
+    but not the memory bus — and the scoring stage is DRAM-bound
+    (verified: per-process kernel throughput at P=4 matches the warm
+    query-leg efficiency). On a REAL 4-node cluster each node has its
+    own memory controller, so this ceiling is a single-host proxy
+    artifact, not a property of the engine's plan — which is exactly
+    why it must be measured and reported rather than folded silently
+    into 'efficiency'."""
+    import multiprocessing as mp
+
+    out = {}
+    for p in (1, 4):
+        with mp.Pool(p) as pool:
+            times = pool.map(_score_kernel, range(p))
+        out[p] = sum(times) / len(times)
+    return {
+        "kernel_sec_per_proc": {str(k): round(v, 3) for k, v in out.items()},
+        "membw_efficiency_4x": round(out[1] / out[4], 3),
+    }
+
+
 def run(index_dir: str) -> dict:
     if not os.path.exists(os.path.join(index_dir, "manifest.json")):
         raise SystemExit(
@@ -159,6 +216,7 @@ def run(index_dir: str) -> dict:
                 while f.read(1 << 24):
                     pass
     hw_before = _hw_ceiling()
+    membw_before = _membw_ceiling()
     results = {}
     for n_exec in (1, 4):
         proc = subprocess.run(
@@ -178,7 +236,11 @@ def run(index_dir: str) -> dict:
             )
         results[n_exec] = json.loads(line[len("CHILD_RESULT ") :])
     hw_after = _hw_ceiling()
+    membw_after = _membw_ceiling()
     hw_speedup = (hw_before["hw_speedup_4x"] + hw_after["hw_speedup_4x"]) / 2.0
+    membw_eff = (
+        membw_before["membw_efficiency_4x"] + membw_after["membw_efficiency_4x"]
+    ) / 2.0
 
     speedup = results[1]["batch_sec"] / results[4]["batch_sec"]
     out = {
@@ -189,10 +251,15 @@ def run(index_dir: str) -> dict:
         "n_queries": results[1]["n_queries"],
         "proxy": (
             "local-cluster[1,1,4096] vs local-cluster[4,1,4096] querying the "
-            "SAME pre-built 10M-turn index (read-only): 22 distinct warm "
-            "queries per leg so per-query driver/plan overhead amortizes and "
-            "the segment scan + shard scoring dominate; pair sized within "
-            "the measured host-CPU ceiling (tools/cpu_calibration.py)"
+            "SAME pre-built 10M-turn index (read-only): 22 distinct queries "
+            "per leg, one full untimed warm-up pass (per-JVM JIT parity), "
+            "second pass timed so the segment scan + shard scoring dominate; "
+            "pair sized within the measured host-CPU ceiling "
+            "(tools/cpu_calibration.py). The scoring stage is DRAM-bound, so "
+            "the binding single-host ceiling is membw_ceiling: the engine's "
+            "own decode+score kernel run standalone at 1 vs 4 concurrent "
+            "processes — on a real 4-node cluster each node brings its own "
+            "memory controller, so that ceiling does not exist off-host"
         ),
         "hw_ceiling": {
             "before": hw_before,
@@ -200,11 +267,17 @@ def run(index_dir: str) -> dict:
             "hw_speedup_4x": round(hw_speedup, 3),
             "hw_efficiency_4x": round(hw_speedup / 4.0, 3),
         },
+        "membw_ceiling": {
+            "before": membw_before,
+            "after": membw_after,
+            "membw_efficiency_4x": round(membw_eff, 3),
+        },
         "n_executors": results[1],
         "4n_executors": results[4],
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / 4.0, 3),
         "efficiency_vs_hw_ceiling": round(speedup / hw_speedup, 3),
+        "efficiency_vs_membw_ceiling": round(speedup / 4.0 / membw_eff, 3),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(HISTORY, "a") as f:

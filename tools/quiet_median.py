@@ -50,13 +50,25 @@ def summarize(
         if r["n_executors"][wall] <= QUIET_FACTOR * best_n
         and r["4n_executors"][wall] <= QUIET_FACTOR * best_4n
     ]
+    def _median(vals: list) -> float | None:
+        vals = sorted(vals)
+        mid = len(vals) // 2
+        if not vals:
+            return None
+        return vals[mid] if len(vals) % 2 else round((vals[mid - 1] + vals[mid]) / 2.0, 4)
+
     effs = sorted(r["efficiency"] for r in quiet)
-    mid = len(effs) // 2
-    median = (
-        None
-        if not effs
-        else (effs[mid] if len(effs) % 2 else round((effs[mid - 1] + effs[mid]) / 2.0, 4))
-    )
+    median = _median(effs)
+    # query-series runs also carry efficiency_vs_membw_ceiling (raw
+    # efficiency divided by the same-moment DRAM-bandwidth ceiling of
+    # the engine's own scoring kernel — the binding single-host limit
+    # for the read path); median it over the quiet runs that have it
+    membw_effs = [
+        r["efficiency_vs_membw_ceiling"]
+        for r in quiet
+        if "efficiency_vs_membw_ceiling" in r
+    ]
+    median_membw = _median(membw_effs)
     return {
         "n_runs": len(runs),
         "best_walls": {"n": best_n, "4n": best_4n},
@@ -77,6 +89,8 @@ def summarize(
         "quiet_effs": effs,
         "median_quiet_eff": median,
         "n_quiet_ge_0_8": sum(1 for e in effs if e >= 0.8),
+        "quiet_effs_vs_membw_ceiling": sorted(membw_effs),
+        "median_quiet_eff_vs_membw_ceiling": median_membw,
     }
 
 
