@@ -362,6 +362,16 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
     Byte format per block is IDENTICAL to encoding each block alone:
     doc deltas reset to absolute at block starts; position deltas reset
     at posting starts (posting streams never span blocks).
+
+    Bigram-sidecar terms (name contains BIGRAM_SEP) take a SLIM path:
+    the query engine only ever decodes their doc stream (membership
+    pruning — they never score, never resolve positions), so their
+    blocks store docs varints only, with empty tfs/dls/poscnt/posflat
+    bytes and zero block maxima. The sidecar is ~25-33% of all postings
+    at the default top-8 hot set, so skipping its three dead varint
+    streams and per-block byte slices is a measurable slice of the
+    segments stage (the build's dominant cost). The decoder treats an
+    empty tf/dl stream as all-ones (_decode_term_blocks).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -370,6 +380,23 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
     with_pos = cfg.with_positions
 
     def encode(table: "pa.Table") -> "pa.Table":
+        # split membership-only sidecar terms from scored terms: a term
+        # is entirely one or the other, so encoding the two subsets
+        # independently and concatenating preserves per-term blocks
+        is_big = pc.match_substring(table.column("term"), BIGRAM_SEP)
+        n_big = pc.sum(is_big).as_py() or 0
+        if n_big == 0:
+            return _encode_group(table, slim=False)
+        if n_big == table.num_rows:
+            return _encode_group(table, slim=True)
+        return pa.concat_tables(
+            [
+                _encode_group(table.filter(pc.invert(is_big)), slim=False),
+                _encode_group(table.filter(is_big), slim=True),
+            ]
+        )
+
+    def _encode_group(table: "pa.Table", slim: bool) -> "pa.Table":
         # Group by term (dictionary code) then doc order — numpy lexsort
         # + fancy-index of the SCALAR columns only. No Arrow take(): a
         # take on the positions ListArray would physically copy every
@@ -388,9 +415,10 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
 
         term_codes = codes_u[order]
         docs = docs_u[order]
-        tfs = table.column("tf").to_numpy().astype(np.int64)[order]
-        dls = table.column("dl").to_numpy().astype(np.int64)[order]
-        dfs = table.column("df").to_numpy().astype(np.float64)[order]
+        if not slim:
+            tfs = table.column("tf").to_numpy().astype(np.int64)[order]
+            dls = table.column("dl").to_numpy().astype(np.int64)[order]
+            dfs = table.column("df").to_numpy().astype(np.float64)[order]
         shard = int(table.column("shard")[0].as_py())
         bucket = int(table.column("bucket")[0].as_py())
         salt = int(table.column("salt")[0].as_py())
@@ -412,21 +440,28 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
             - np.searchsorted(block_starts, run_starts[run_of_block], side="left")
         )
 
-        # BM25 bounds, vectorized across the whole group
-        idf = np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
-        scores = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-        max_scores = np.maximum.reduceat(scores, block_starts)
-        max_tfs = np.maximum.reduceat(tfs, block_starts)
+        if slim:
+            # membership-only blocks: never scored, never position-
+            # resolved — block maxima are inert zeros
+            max_scores = np.zeros(block_starts.size, dtype=np.float64)
+            max_tfs = np.zeros(block_starts.size, dtype=np.int64)
+        else:
+            # BM25 bounds, vectorized across the whole group
+            idf = np.log1p((n_docs - dfs + 0.5) / (dfs + 0.5))
+            scores = idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+            max_scores = np.maximum.reduceat(scores, block_starts)
+            max_tfs = np.maximum.reduceat(tfs, block_starts)
 
         # doc deltas: gaps, reset to absolute at block starts
         deltas = docs.astype(np.uint64)
         deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
         deltas[block_starts] = docs[block_starts].astype(np.uint64)
         dbuf, doffs = varint_encode_with_offsets(deltas)
-        tbuf, toffs = varint_encode_with_offsets(tfs.astype(np.uint64))
-        lbuf, loffs = varint_encode_with_offsets(dls.astype(np.uint64))
+        if not slim:
+            tbuf, toffs = varint_encode_with_offsets(tfs.astype(np.uint64))
+            lbuf, loffs = varint_encode_with_offsets(dls.astype(np.uint64))
 
-        if with_pos:
+        if with_pos and not slim:
             parr = table.column("positions").chunk(0)
             poffs = parr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             pbase = int(poffs[0])
@@ -470,15 +505,19 @@ def _encode_bucket_fn(cfg: IndexConfig, n_docs: float, avgdl: float):
                 type=pa.binary(),
             ),
             "tfs": pa.array(
-                [tbuf[toffs[s] : toffs[e]] for s, e in zip(block_starts, block_ends)],
+                [b""] * nb
+                if slim
+                else [tbuf[toffs[s] : toffs[e]] for s, e in zip(block_starts, block_ends)],
                 type=pa.binary(),
             ),
             "dls": pa.array(
-                [lbuf[loffs[s] : loffs[e]] for s, e in zip(block_starts, block_ends)],
+                [b""] * nb
+                if slim
+                else [lbuf[loffs[s] : loffs[e]] for s, e in zip(block_starts, block_ends)],
                 type=pa.binary(),
             ),
         }
-        if with_pos:
+        if with_pos and not slim:
             cols["poscnt"] = pa.array(
                 [cbuf[coffs[s] : coffs[e]] for s, e in zip(block_starts, block_ends)],
                 type=pa.binary(),

@@ -214,8 +214,14 @@ def _decode_term_blocks(rows: pd.DataFrame, want_positions: bool):
     c = np.cumsum(deltas)
     base = c[block_starts] - deltas[block_starts]
     docs = c - np.repeat(base, ns)
-    tfs = varint_decode(b"".join(rows["tfs"])).view(np.int64)
-    dls = varint_decode(b"".join(rows["dls"])).view(np.int64)
+    # bigram-sidecar blocks are membership-only (slim encode,
+    # build._encode_group): their tf/dl streams are empty bytes —
+    # decode as all-ones rather than an empty array so the shared
+    # sort/gather below stays shape-correct (the values are never
+    # used: sidecar terms are peeled off before any scoring)
+    tb, lb = b"".join(rows["tfs"]), b"".join(rows["dls"])
+    tfs = varint_decode(tb).view(np.int64) if tb else np.ones(docs.size, np.int64)
+    dls = varint_decode(lb).view(np.int64) if lb else np.ones(docs.size, np.int64)
     order = np.argsort(docs, kind="stable")  # salted runs interleave
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     if want_positions:

@@ -87,12 +87,21 @@ def test_block_max_invariant(spark, index_dir):
         (r["term"], r["df"])
         for r in spark.read.parquet(f"{index_dir}/bigram_dictionary").collect()
     )
+    from newsleak_spark.indexing.build import BIGRAM_SEP
+
     for r in rows:
+        docs = delta_decode(bytes(r["docs"]))
+        assert len(docs) == r["n"]
+        assert int(docs[0]) == r["doc_first"] and int(docs[-1]) == r["doc_last"]
+        if BIGRAM_SEP in r["term"]:
+            # membership-only sidecar blocks: slim encode stores the doc
+            # stream only; maxima are inert zeros (never WAND-scored)
+            assert bytes(r["tfs"]) == b"" and bytes(r["dls"]) == b""
+            assert r["max_tf"] == 0 and r["max_score"] == 0.0
+            continue
         tfs = varint_decode(bytes(r["tfs"])).astype(np.int64)
         dls = varint_decode(bytes(r["dls"])).astype(np.int64)
-        docs = delta_decode(bytes(r["docs"]))
-        assert len(docs) == r["n"] == len(tfs) == len(dls)
-        assert int(docs[0]) == r["doc_first"] and int(docs[-1]) == r["doc_last"]
+        assert len(docs) == len(tfs) == len(dls)
         assert tfs.max() == r["max_tf"]
         idf = float(np.log(1.0 + (rd.n_docs - dic[r["term"]] + 0.5) / (dic[r["term"]] + 0.5)))
         scores = _bm25(tfs, dls, idf, rd.avgdl)
