@@ -47,9 +47,19 @@ def main() -> None:
 
     idx = f"/tmp/newsleak_demo_{n_turns}"
     shutil.rmtree(idx, ignore_errors=True)
-    t = synth_transcripts(spark, n_turns, partitions=256)
+    # hold per-partition volume at the proven 10M geometry (256 parts
+    # ≈ 39k turns/part) instead of letting larger runs inflate it
+    parts = max(256, n_turns // 39_000)
+    t = synth_transcripts(spark, n_turns, partitions=parts)
+    cfg = IndexConfig()
+    if n_turns > 20_000_000:
+        # posting-merge / segment-write partition tuning (the north
+        # rule's explicit scale knob): widen the term-bucket fan-out so
+        # per-(shard,bucket,salt) encode groups stay near the proven
+        # 10M geometry instead of growing linearly with the input
+        cfg = IndexConfig(n_term_buckets=128)
     t0 = time.time()
-    build_index(spark, t, idx, IndexConfig(), resume=False)
+    build_index(spark, t, idx, cfg, resume=False)
     build_sec = time.time() - t0
     man = Manifest(idx)
 

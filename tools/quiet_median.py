@@ -69,6 +69,12 @@ def summarize(
         if "efficiency_vs_membw_ceiling" in r
     ]
     median_membw = _median(membw_effs)
+    # newer query-series runs also measure in-flight (concurrent-
+    # submission) throughput — the serving-cluster job shape where
+    # straggler gaps overlap across queries in flight
+    inflight_effs = [
+        r["inflight_efficiency"] for r in quiet if "inflight_efficiency" in r
+    ]
     return {
         "n_runs": len(runs),
         "best_walls": {"n": best_n, "4n": best_4n},
@@ -91,6 +97,8 @@ def summarize(
         "n_quiet_ge_0_8": sum(1 for e in effs if e >= 0.8),
         "quiet_effs_vs_membw_ceiling": sorted(membw_effs),
         "median_quiet_eff_vs_membw_ceiling": median_membw,
+        "quiet_inflight_effs": sorted(inflight_effs),
+        "median_quiet_inflight_eff": _median(inflight_effs),
     }
 
 
