@@ -271,7 +271,8 @@ def _bigram_postings(
             starts = np.flatnonzero(new)
             tf = np.diff(np.append(starts, fd.size)).astype(np.int32)
             gd = fd[starts]
-            # pair-code → "a\x00b" only for the batch's UNIQUE pairs
+            # pair-code → "a" + BIGRAM_SEP + "b" only for the batch's
+            # UNIQUE pairs
             uk, inv = np.unique(fk[starts], return_inverse=True)
             names = np.array(
                 [dic[k // len(dic)] + BIGRAM_SEP + dic[k % len(dic)] for k in uk.tolist()],
