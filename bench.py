@@ -232,6 +232,9 @@ def _compact(full: dict) -> dict:
                     "efficiency_vs_hw_ceiling"
                 ),
                 "quiet_median_eff": ql.get("quiet_median", {}).get("median_eff"),
+                "quiet_median_inflight_eff": ql.get("quiet_median", {}).get(
+                    "median_inflight_eff"
+                ),
                 "n_runs": ql.get("n_runs"),
             }
     return out
@@ -595,6 +598,10 @@ def _query_leg_summary() -> dict | None:
             "median_eff_vs_membw_ceiling": qm.get(
                 "median_quiet_eff_vs_membw_ceiling"
             ),
+            # concurrent-submission throughput — the serving-cluster
+            # job shape (straggler gaps overlap across in-flight
+            # queries); quiet rule keyed to the in-flight walls
+            "median_inflight_eff": qm.get("median_quiet_inflight_eff"),
             "n_quiet": qm.get("n_quiet"),
             "n_quiet_ge_0_8": qm.get("n_quiet_ge_0_8"),
             "rule": "blind: both legs <=1.25x best-ever batch walls, per series",

@@ -71,10 +71,26 @@ def summarize(
     median_membw = _median(membw_effs)
     # newer query-series runs also measure in-flight (concurrent-
     # submission) throughput — the serving-cluster job shape where
-    # straggler gaps overlap across queries in flight
-    inflight_effs = [
-        r["inflight_efficiency"] for r in quiet if "inflight_efficiency" in r
+    # straggler gaps overlap across queries in flight. The blind rule
+    # applies symmetrically to THAT metric's own walls (inflight_sec):
+    # a run whose sequential batch caught a noise burst can still be a
+    # quiet in-flight sample, and vice versa — same 1.25x-of-best-ever
+    # test, same outcome-blindness.
+    infl_runs = [
+        r
+        for r in runs
+        if "inflight_sec" in r["n_executors"] and "inflight_sec" in r["4n_executors"]
     ]
+    inflight_effs = []
+    if infl_runs:
+        ibest_n = min(r["n_executors"]["inflight_sec"] for r in infl_runs)
+        ibest_4n = min(r["4n_executors"]["inflight_sec"] for r in infl_runs)
+        inflight_effs = [
+            r["inflight_efficiency"]
+            for r in infl_runs
+            if r["n_executors"]["inflight_sec"] <= QUIET_FACTOR * ibest_n
+            and r["4n_executors"]["inflight_sec"] <= QUIET_FACTOR * ibest_4n
+        ]
     return {
         "n_runs": len(runs),
         "best_walls": {"n": best_n, "4n": best_4n},
