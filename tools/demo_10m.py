@@ -42,11 +42,38 @@ QUERIES = {
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    spark = get_spark(app_name="demo_10m")
+    extra = None
+    if n_turns > 20_000_000:
+        # disk-footprint controls for runs past the proven 10M size:
+        # the sandbox has one ~76GB-free disk, and the ContextCleaner's
+        # default 30min periodic GC leaves every completed stage's
+        # shuffle blocks on disk for the whole build — a 50M run died
+        # on ENOSPC exactly that way. zstd shuffle/spill compression
+        # (~1.5-2x over lz4 on token-ish rows) plus a 1min GC interval
+        # (shuffles become unreferenced as soon as the next stage's
+        # checkpoint is written) keep peak scratch within the budget.
+        extra = {
+            "spark.io.compression.codec": "zstd",
+            "spark.cleaner.periodicGC.interval": "1min",
+            # local mode: the driver JVM is the executor — the default
+            # 8g heap OOMed the 50M segments encode (32 concurrent
+            # applyInArrow groups, each materializing a multi-hundred-MB
+            # Arrow table of postings+positions, plus shuffle read-ahead
+            # buffers). Size the heap like a real executor fleet would
+            # be: ~2g per concurrent encode task.
+            "spark.driver.memory": "64g",
+        }
+    spark = get_spark(app_name="demo_10m", extra_conf=extra)
     spark.range(1_000).count()
 
     idx = f"/tmp/newsleak_demo_{n_turns}"
-    shutil.rmtree(idx, ignore_errors=True)
+    # RESUME=1: re-enter a partially-built index dir (kill-and-resume is
+    # a first-class build feature; committed stages are skipped by
+    # manifest config-hash match). Total build wall is then the sum of
+    # the manifest's per-stage walls, not this process's elapsed time.
+    resume = os.environ.get("RESUME") == "1"
+    if not resume:
+        shutil.rmtree(idx, ignore_errors=True)
     # hold per-partition volume at the proven 10M geometry (256 parts
     # ≈ 39k turns/part) instead of letting larger runs inflate it
     parts = max(256, n_turns // 39_000)
@@ -59,9 +86,14 @@ def main() -> None:
         # 10M geometry instead of growing linearly with the input
         cfg = IndexConfig(n_term_buckets=128)
     t0 = time.time()
-    build_index(spark, t, idx, cfg, resume=False)
+    build_index(spark, t, idx, cfg, resume=resume)
     build_sec = time.time() - t0
     man = Manifest(idx)
+    if resume:
+        # elapsed time excludes stages committed by the killed run;
+        # report the manifest's stage-wall sum as the build cost so the
+        # headline number covers the WHOLE build, not just the tail
+        build_sec = sum(v["wall_sec"] for v in man.stages.values())
 
     out = {
         "n_turns": n_turns,
