@@ -39,8 +39,12 @@ def main() -> None:
     spark.range(1_000).count()
 
     idx = f"/tmp/newsleak_demo_{n_turns}"
-    t = synth_transcripts(spark, n_turns, partitions=256)
-    build_index(spark, t, idx, IndexConfig(), resume=True)  # no-op if built
+    parts = max(256, n_turns // 39_000)
+    t = synth_transcripts(spark, n_turns, partitions=parts)
+    # mirror tools/demo_10m.py's config selection so the resume path's
+    # config-hash check accepts an index that demo built at this size
+    cfg = IndexConfig(n_term_buckets=128) if n_turns > 20_000_000 else IndexConfig()
+    build_index(spark, t, idx, cfg, resume=True)  # no-op if built
 
     api = NewsleakAPI(spark, t, idx)
     # warm: reader cache + dictionary point reads
