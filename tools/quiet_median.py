@@ -119,12 +119,22 @@ def summarize(
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--kind-query"]
-    kind = (
-        "query_scaling_same_index"
-        if "--kind-query" in sys.argv[1:]
-        else "strong_scaling_same_input"
-    )
+    # accept --kind-query, "--kind query", or "--kind <full-kind-name>"
+    argv = sys.argv[1:]
+    kind = "strong_scaling_same_input"
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--kind-query":
+            kind = "query_scaling_same_index"
+        elif a == "--kind" and i + 1 < len(argv):
+            v = argv[i + 1]
+            kind = "query_scaling_same_index" if v == "query" else v
+            i += 1
+        else:
+            args.append(a)
+        i += 1
     n = int(args[0]) if args else (10_000_000 if kind.startswith("query") else 800_000)
     cores = int(args[1]) if len(args) > 1 else (1 if kind.startswith("query") else 2)
     print(json.dumps(summarize(n, cores, kind), indent=1))
