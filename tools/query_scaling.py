@@ -273,15 +273,25 @@ def run(index_dir: str) -> dict:
     ) / 2.0
 
     speedup = results[1]["batch_sec"] / results[4]["batch_sec"]
+    # series key = the index's ACTUAL size (manifest n_docs), so samples
+    # against a 50M-turn index form their own quiet series instead of
+    # polluting the 10M series' best-ever walls (quiet_median.py groups
+    # by (kind, n_turns, executor_cores))
+    try:
+        from newsleak_spark.indexing.manifest import Manifest
+
+        series_turns = int(Manifest(index_dir).stats.get("n_docs") or N_TURNS)
+    except (OSError, ValueError, KeyError):
+        series_turns = N_TURNS
     out = {
         "kind": KIND,
         "executor_cores": 1,
-        "n_turns": N_TURNS,
+        "n_turns": series_turns,
         "index_dir": index_dir,
         "n_queries": results[1]["n_queries"],
         "proxy": (
             "local-cluster[1,1,4096] vs local-cluster[4,1,4096] querying the "
-            "SAME pre-built 10M-turn index (read-only): 22 distinct queries "
+            f"SAME pre-built {series_turns}-turn index (read-only): 22 distinct queries "
             "per leg, one full untimed warm-up pass (per-JVM JIT parity), "
             "second pass timed so the segment scan + shard scoring dominate; "
             "pair sized within the measured host-CPU ceiling "
