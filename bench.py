@@ -573,6 +573,10 @@ def _query_leg_summary() -> dict | None:
         "n_runs": len(runs),
         "n_queries": best.get("n_queries"),
         "index_turns": best.get("n_turns"),
+        # per index size, the series' own blind quiet summary (runs
+        # against different index sizes have incomparable walls and
+        # must never share a best-ever baseline)
+        "series": _query_leg_series(runs),
         "best_by_vs_ceiling": {
             "efficiency": best.get("efficiency"),
             "efficiency_vs_hw_ceiling": best.get("efficiency_vs_hw_ceiling"),
@@ -609,6 +613,42 @@ def _query_leg_summary() -> dict | None:
     except (OSError, ImportError, ValueError, KeyError) as exc:
         out["quiet_median"] = {"error": repr(exc)}
     return out
+
+
+def _query_leg_series(runs: list) -> list:
+    """One blind-quiet summary per distinct (index size, executor
+    cores) in the read-path history — each series has its own
+    best-ever walls, so the 1.25x quiet test stays meaningful when
+    samples against a larger index (e.g. 50M turns) join the file."""
+    try:
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from quiet_median import summarize
+    except ImportError:
+        return []
+    keys = sorted({(r.get("n_turns"), int(r.get("executor_cores", 1))) for r in runs})
+    series = []
+    for n_turns, cores in keys:
+        try:
+            qm = summarize(n_turns, cores, kind="query_scaling_same_index")
+        except (OSError, ValueError, KeyError):
+            continue
+        if not qm.get("n_runs"):
+            continue
+        series.append(
+            {
+                "index_turns": n_turns,
+                "executor_cores": cores,
+                "n_runs": qm["n_runs"],
+                "median_eff": qm.get("median_quiet_eff"),
+                "median_eff_vs_membw_ceiling": qm.get(
+                    "median_quiet_eff_vs_membw_ceiling"
+                ),
+                "median_inflight_eff": qm.get("median_quiet_inflight_eff"),
+                "n_quiet": qm.get("n_quiet"),
+                "n_quiet_ge_0_8": qm.get("n_quiet_ge_0_8"),
+            }
+        )
+    return series
 
 
 def main() -> None:
