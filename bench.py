@@ -237,6 +237,21 @@ def _compact(full: dict) -> dict:
                 ),
                 "n_runs": ql.get("n_runs"),
             }
+            # per-index-size quiet summaries (e.g. the 50M-turn series,
+            # where the 5x-longer scans amortize fixed per-query
+            # overhead and the raw batch number is scan-dominated)
+            if ql.get("series"):
+                out["scaling"]["query_leg_series"] = [
+                    {
+                        "index_turns": sr.get("index_turns"),
+                        "n_runs": sr.get("n_runs"),
+                        "median_eff": sr.get("median_eff"),
+                        "median_inflight_eff": sr.get("median_inflight_eff"),
+                        "n_quiet": sr.get("n_quiet"),
+                        "n_quiet_ge_0_8": sr.get("n_quiet_ge_0_8"),
+                    }
+                    for sr in ql["series"]
+                ]
     return out
 
 
