@@ -583,7 +583,26 @@ def _query_leg_summary() -> dict | None:
     runs = [r for r in runs if r.get("kind") == "query_scaling_same_index"]
     if not runs:
         return None
-    best = max(runs, key=lambda r: r.get("efficiency_vs_hw_ceiling", 0.0))
+    # same validity guard as the build-series cache selection: a run
+    # whose N-leg caught contention (raw eff >1.05, or an N batch wall
+    # >1.3x its own series' median) has an inflated ratio and must not
+    # headline as "best", though it stays in the history
+    by_series: dict = {}
+    for r in runs:
+        by_series.setdefault(r.get("n_turns"), []).append(
+            r.get("n_executors", {}).get("batch_sec")
+        )
+    med_n_wall = {
+        k: sorted(v)[len(v) // 2] for k, v in by_series.items() if all(v)
+    }
+    valid = [
+        r
+        for r in runs
+        if r.get("efficiency", 0.0) <= 1.05
+        and r.get("n_executors", {}).get("batch_sec", 0.0)
+        <= 1.3 * med_n_wall.get(r.get("n_turns"), float("inf"))
+    ] or runs
+    best = max(valid, key=lambda r: r.get("efficiency_vs_hw_ceiling", 0.0))
     out = {
         "n_runs": len(runs),
         "n_queries": best.get("n_queries"),
